@@ -1,0 +1,112 @@
+"""UAX#29 word-break tokenizer (Lucene StandardTokenizer semantics).
+
+Reimplements the *behavior* of the reference's JFlex-generated DFA
+(/root/reference/src/analyses/StandardTokenizer.php:15-1069) as a
+vectorized NumPy pass over codepoint class arrays — not a table port.
+
+Semantics reproduced:
+
+* token types ALPHANUM / NUM / SOUTHEAST_ASIAN / IDEOGRAPHIC / HIRAGANA /
+  KATAKANA / HANGUL (StandardTokenizer.php:60-89);
+* Han + Hiragana emit one token per character, Katakana / Hangul /
+  Southeast-Asian emit runs (Lucene's UAX29 grammar);
+* MidLetter (' ’ :) joins letter.letter, MidNum (, ;) joins digit.digit,
+  MidNumLet (.) joins like-sided pairs, ExtendNumLet (_) joins everything
+  — so ``O'Neil's``, ``snake_case``, ``3.1415`` are single tokens;
+* tokens longer than 255 chars are dropped but the skipped position is
+  counted into the next token's pos_inc (StandardTokenizer.php:916-927);
+* combining marks / format chars are transparent (attach to the run).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from . import chars as C
+
+MAX_TOKEN_LEN = 255  # StandardTokenizer.php:97 (StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH)
+
+TYPE_ALPHANUM = "<ALPHANUM>"
+TYPE_NUM = "<NUM>"
+TYPE_SEA = "<SOUTHEAST_ASIAN>"
+TYPE_IDEOGRAPHIC = "<IDEOGRAPHIC>"
+TYPE_HIRAGANA = "<HIRAGANA>"
+TYPE_KATAKANA = "<KATAKANA>"
+TYPE_HANGUL = "<HANGUL>"
+
+
+class Token(NamedTuple):
+    term: str
+    start: int
+    end: int
+    pos_inc: int
+    pos_len: int
+    type: str
+
+
+def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
+    """[(start, end)) spans of consecutive True in a bool array."""
+    if mask.size == 0:
+        return []
+    padded = np.concatenate(([False], mask, [False]))
+    edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
+    return list(zip(edges[0::2].tolist(), edges[1::2].tolist()))
+
+
+def standard_tokenize(text: str) -> list[Token]:
+    cps = C.to_codepoints(text)
+    n = cps.size
+    if n == 0:
+        return []
+    cls = C.classify(cps)
+
+    # format/combining chars are transparent: inherit previous char's class
+    ext = cls == C.EXTEND
+    if ext.any():
+        idx = np.arange(n)
+        src = np.where(ext, 0, idx)
+        np.maximum.accumulate(src, out=src)
+        cls = cls[src]
+        cls[ext & (np.arange(n) == src)] = C.OTHER  # leading extends
+
+    wordish = (cls == C.ALPHA) | (cls == C.DIGIT) | (cls == C.EXTENDNUMLET)
+
+    # absorb single mid chars with eligible neighbors (UAX#29 WB6/7/11/12)
+    prev = np.concatenate(([C.OTHER], cls[:-1]))
+    nxt = np.concatenate((cls[1:], [C.OTHER]))
+    both_alpha = (prev == C.ALPHA) & (nxt == C.ALPHA)
+    both_digit = (prev == C.DIGIT) & (nxt == C.DIGIT)
+    mid = ((cls == C.MIDLETTER) & both_alpha) \
+        | ((cls == C.MIDNUM) & both_digit) \
+        | ((cls == C.MIDNUMLET) & (both_alpha | both_digit))
+    word_mask = wordish | mid
+
+    spans: list[tuple[int, int, str]] = []
+    for s, e in _runs(word_mask):
+        seg = cls[s:e]
+        has_alpha = bool((seg == C.ALPHA).any())
+        has_digit = bool((seg == C.DIGIT).any())
+        if not (has_alpha or has_digit):
+            continue  # bare connector runs ("___") emit nothing
+        spans.append((s, e, TYPE_ALPHANUM if has_alpha else TYPE_NUM))
+
+    for klass, ttype in ((C.KATAKANA, TYPE_KATAKANA), (C.HANGUL, TYPE_HANGUL),
+                         (C.SEA, TYPE_SEA)):
+        for s, e in _runs(cls == klass):
+            spans.append((s, e, ttype))
+    for klass, ttype in ((C.HAN, TYPE_IDEOGRAPHIC), (C.HIRAGANA, TYPE_HIRAGANA)):
+        for i in np.flatnonzero(cls == klass).tolist():
+            spans.append((i, i + 1, ttype))
+
+    spans.sort()
+    out: list[Token] = []
+    skipped = 0
+    for s, e, ttype in spans:
+        if e - s > MAX_TOKEN_LEN:  # drop overlong, count the hole
+            skipped += 1
+            continue
+        out.append(Token(text[s:e], s, e, 1 + skipped, 1, ttype))
+        skipped = 0
+    return out

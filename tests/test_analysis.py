@@ -1,0 +1,80 @@
+"""Golden-vector tests for the analysis chain (SURVEY.md §5.1-5.2).
+
+The reference ships zero tests; these vectors are authored from its
+semantics (file:line contracts cited in SURVEY.md) and frozen here —
+everything downstream (postings, BM25, rank-identity) depends on them.
+"""
+
+import json
+import pathlib
+
+import pytest
+
+from php_lucene_analyzer_spark.analysis import analyze, standard_tokenize
+from php_lucene_analyzer_spark.analysis.filters import lowercase, stop
+from php_lucene_analyzer_spark.analysis.porter2 import porter2
+from php_lucene_analyzer_spark.analysis.word_delimiter import word_delimiter_graph
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _run_chain(chain: str, text: str):
+    toks = standard_tokenize(text)
+    if chain == "standard":
+        return toks
+    toks = word_delimiter_graph(toks)
+    if chain == "standard+wdgf":
+        return toks
+    assert chain == "full"
+    return analyze(text)
+
+
+@pytest.mark.parametrize(
+    "case", json.loads((FIXTURES / "tokenizer_golden.json").read_text()),
+    ids=lambda c: f"{c['chain']}:{c['input'][:25]}")
+def test_tokenizer_golden(case):
+    got = [[t.term, t.start, t.end, t.pos_inc, t.pos_len, t.type]
+           for t in _run_chain(case["chain"], case["input"])]
+    assert got == case["expected"]
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    json.loads((FIXTURES / "stemmer_golden.json").read_text()),
+    ids=lambda v: v if isinstance(v, str) else "")
+def test_stemmer_golden(word, expected):
+    assert porter2(word) == expected
+
+
+def test_overlong_token_dropped_with_position_hole():
+    # StandardTokenizer.php:916-927 — >255-char token skipped, position kept
+    text = "start " + "x" * 300 + " end"
+    toks = standard_tokenize(text)
+    assert [t.term for t in toks] == ["start", "end"]
+    assert toks[1].pos_inc == 2
+
+
+def test_stopword_holes_accumulate():
+    # FilteringTokenFilter.php:33-42
+    toks = stop(lowercase(standard_tokenize("to be or not to be alpha")))
+    assert [t.term for t in toks] == ["alpha"]
+    assert toks[0].pos_inc == 7
+
+
+def test_positions_monotone_and_offsets_ordered():
+    toks = analyze("Some BIGSnakeCase_Value O'Neil's 3.14 running in the WiFi2000 era")
+    pos = -1
+    last_start = -1
+    for t in toks:
+        assert t.pos_inc >= 0
+        pos += t.pos_inc
+        assert t.start >= last_start  # offsets monotone (WDGF :361-366)
+        assert 0 <= t.start < t.end
+        last_start = t.start
+    assert pos >= 0
+
+
+def test_empty_and_whitespace():
+    assert standard_tokenize("") == []
+    assert standard_tokenize("   \n\t ...!!! ") == []
+    assert analyze("the a an of") == []
