@@ -1,0 +1,111 @@
+"""Deterministic synthetic source-code corpus (BASELINE.json ``input_hint``).
+
+Schema: (repo string, path string, commit string, lang string,
+content string) — the Iceberg source table shape the north rule names.
+Generated DISTRIBUTED (spark.range -> mapInPandas), never on the driver:
+each row's content is a pure function of its index, so the corpus is
+identical at any parallelism / partitioning — a precondition for the
+rank-identity-across-cluster-sizes contract.
+
+Content is synthetic source code engineered to exercise every analyzer
+branch (camelCase, snake_case, SCREAMING_CASE, digit-mixed ids, possessives,
+stopword-rich comments) with Zipf-distributed identifier frequencies so the
+salted-merge skew path is actually exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_LANGS = ["java", "py", "php", "go", "js"]
+_EXT = {"java": "java", "py": "py", "php": "php", "go": "go", "js": "js"}
+
+_IDENT_STEMS = [
+    "parse", "build", "run", "merge", "split", "index", "token", "stream",
+    "filter", "query", "score", "rank", "count", "batch", "shard", "block",
+    "codec", "hash", "node", "arc", "term", "doc", "post", "list", "cache",
+    "read", "write", "flush", "open", "close", "init", "load", "store",
+    "util", "helper", "manager", "handler", "factory", "builder", "visitor",
+    "buffer", "cursor", "offset", "length", "state", "config", "option",
+]
+_SUFFIXES = ["", "Impl", "Base", "Util", "2", "64", "V2", "Buf"]
+_KEYWORDS = ["if", "else", "for", "while", "return", "function", "class",
+             "def", "var", "let", "const", "public", "static", "void",
+             "import", "package", "new", "try", "catch", "throw"]
+_COMMENT_WORDS = [
+    "the", "a", "an", "of", "to", "and", "is", "this", "that", "with",
+    "for", "on", "in", "returns", "value", "given", "input", "output",
+    "running", "parsing", "merged", "indexed", "quickly", "slowly",
+    "caches", "buffers", "tokens", "documents", "queries", "scores",
+]
+
+
+def _make_vocab() -> list[str]:
+    vocab = []
+    for i, s in enumerate(_IDENT_STEMS):
+        for j, t in enumerate(_IDENT_STEMS):
+            if len(vocab) >= 1500:
+                break
+            suf = _SUFFIXES[(i + j) % len(_SUFFIXES)]
+            style = (i * 7 + j) % 4
+            if style == 0:
+                vocab.append(s + t.capitalize() + suf)          # camelCase
+            elif style == 1:
+                vocab.append(f"{s}_{t}{suf.lower()}")           # snake_case
+            elif style == 2:
+                vocab.append((s + "_" + t).upper())             # SCREAMING
+            else:
+                vocab.append(s.capitalize() + t.capitalize() + suf)  # Pascal
+    return vocab
+
+
+_VOCAB = _make_vocab()
+
+
+def _gen_content(idx: int) -> str:
+    rng = np.random.default_rng(42 + idx)
+    n_lines = int(rng.integers(5, 40))
+    # Zipf-distributed identifier choice: heavy head terms appear everywhere
+    zipf_w = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.1
+    zipf_w /= zipf_w.sum()
+    lines = []
+    for _ in range(n_lines):
+        kind = rng.integers(0, 10)
+        if kind < 2:  # comment line — stopword-rich English
+            words = rng.choice(_COMMENT_WORDS, size=int(rng.integers(4, 12)))
+            lines.append("// " + " ".join(words))
+        else:
+            kw = _KEYWORDS[int(rng.integers(0, len(_KEYWORDS)))]
+            ids = rng.choice(len(_VOCAB), size=int(rng.integers(2, 6)), p=zipf_w)
+            args = ", ".join(_VOCAB[i] for i in ids[1:])
+            lines.append(f"{kw} {_VOCAB[ids[0]]}({args}) {{ return {int(rng.integers(0, 9999))}; }}")
+    return "\n".join(lines)
+
+
+def synthetic_corpus(spark: SparkSession, n_docs: int,
+                     partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus of ``n_docs`` synthetic source files."""
+    import hashlib
+
+    def gen(batches):
+        for pdf in batches:
+            idxs = pdf["id"].to_numpy()
+            repos, paths, commits, langs, contents = [], [], [], [], []
+            for idx in idxs:
+                idx = int(idx)
+                lang = _LANGS[idx % len(_LANGS)]
+                repo = f"org{idx % 97}/repo{(idx // 97) % 50}"
+                path = f"src/mod{idx % 13}/file_{idx}.{_EXT[lang]}"
+                commits.append(hashlib.sha1(f"{repo}/{path}:42".encode()).hexdigest())
+                repos.append(repo)
+                paths.append(path)
+                langs.append(lang)
+                contents.append(_gen_content(idx))
+            yield pd.DataFrame({"repo": repos, "path": paths, "commit": commits,
+                                "lang": langs, "content": contents})
+
+    base = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return base.mapInPandas(
+        gen, schema="repo string, path string, commit string, lang string, content string")

@@ -1,0 +1,152 @@
+"""Fulltext index build + exhaustive BM25 — the DataFrame skeleton.
+
+This is the declarative core: Catalyst plans every stage (scan -> project
+(analyze UDF) -> explode -> partial/final hash agg -> broadcast join ->
+TakeOrderedAndProject).  The blob/WAND physical layer builds on top of the
+same intermediate (operators/postings.py, operators/wand.py).
+
+Scale notes (100 TB / 10^12 docs):
+* doc ids are assigned by a two-phase range-partition scheme (sort by key,
+  per-partition counts -> prefix offsets), NOT a single global window —
+  deterministic at any parallelism because ids = global rank of a unique
+  sort key, independent of partition boundaries;
+* term frequencies are pre-aggregated per document INSIDE the analyzer UDF
+  (map-side combine before any shuffle — the (doc,term,tf) stream is ~100x
+  smaller than the raw token stream);
+* BM25 per-doc score sums run over sort_array'ed per-term contributions so
+  float addition order is fixed at any cluster size (rank identity).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..analysis import analyze
+from ..analysis.chain import term_vectors_udf
+
+K1 = 1.2
+B = 0.75
+
+
+def with_doc_ids(docs: DataFrame, order_cols: list[str],
+                 partitions: int | None = None) -> DataFrame:
+    """Dense, deterministic int64 ``doc_id`` = global rank of ``order_cols``.
+
+    Two-phase: range-partition + local sort, count per partition, prefix-sum
+    offsets (driver-side over #partitions integers), then offset + local
+    row_number.  Equivalent to row_number() over a global window but without
+    the single-partition bottleneck — the SURVEY.md §2-C "DocID assignment"
+    operator.  ``order_cols`` must be a unique key for determinism.
+    """
+    spark = docs.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    ranged = docs.repartitionByRange(n_part, *order_cols) \
+                 .withColumn("_pid", F.spark_partition_id()) \
+                 .withColumn("_rn", F.row_number().over(
+                     Window.partitionBy("_pid").orderBy(*order_cols)))
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return (ranged.join(F.broadcast(off_df), "_pid", "left")
+            .withColumn("doc_id",
+                        (F.col("_rn") - 1 + F.coalesce("_off", F.lit(0))).cast("long"))
+            .drop("_pid", "_rn", "_off"))
+
+
+def term_doc_freqs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "content") -> DataFrame:
+    """(doc_id, term, tf, dl) — one row per distinct term per doc.
+
+    The analyzer UDF emits per-doc (term, tf) pairs already aggregated, so
+    no groupBy over raw tokens ever happens (map-side combine in Python).
+    """
+    tv = docs.select(F.col(id_col).alias("doc_id"),
+                     term_vectors_udf()(F.col(text_col)).alias("tv"))
+    return (tv.select("doc_id", F.col("tv.dl").alias("dl"),
+                      F.explode("tv.terms").alias("t"))
+              .select("doc_id", "dl", F.col("t.term").alias("term"),
+                      F.col("t.tf").alias("tf")))
+
+
+def corpus_stats(tdf: DataFrame) -> tuple[int, float]:
+    """(N docs, avg doc length). One tiny agg; cache upstream if reused."""
+    row = (tdf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+              .collect()[0])
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def term_stats(tdf: DataFrame) -> DataFrame:
+    """(term, df, cf) — partial+final hash agg, JVM-side."""
+    return tdf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf"))
+
+
+def term_dict(tstats: DataFrame) -> DataFrame:
+    """Sorted term dictionary with dense ids (the FST's role, SURVEY §1.4).
+
+    A global orderBy window is fine at vocab scale (vocabulary ≪ corpus:
+    even 10^12 docs of code yield ~10^8-10^9 distinct terms, and the dict
+    is built once); stored sorted so prefix/range queries prune by min/max.
+    """
+    w = Window.orderBy("term")
+    return tstats.withColumn("term_id", F.row_number().over(w).cast("long"))
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Computed in PYTHON (driver-side, query terms only): java.lang.Math.log
+    and libm can disagree by 1 ulp, which breaks the bit-identical
+    rank-identity contract between the JVM scorer, the WAND pandas kernel
+    and the pure-pandas oracle.  Shipping idf as a literal keeps the JVM
+    side to exact IEEE +,*,/ only.
+    """
+    import math
+    return math.log(1.0 + (float(n_docs) - df + 0.5) / (df + 0.5))
+
+
+def bm25_scores(tdf: DataFrame, tstats: DataFrame, n_docs: int, avgdl: float,
+                query_terms: list[str], k1: float = K1, b: float = B) -> DataFrame:
+    """Exhaustive BM25 over all matching docs -> (doc_id, score).
+
+    Query terms (tiny) are broadcast; per-term contributions are summed in
+    term order via sort_array + aggregate so the float result is identical
+    at any parallelism (SURVEY §4 "rank identity" engineering note).
+    """
+    spark = tdf.sparkSession
+    terms = sorted(set(query_terms))
+    dfs = {r["term"]: r["df"] for r in
+           tstats.filter(F.col("term").isin(terms)).select("term", "df").collect()}
+    qt = spark.createDataFrame(
+        [(t, idf(n_docs, dfs[t])) for t in terms if t in dfs],
+        "term string, idf double")
+    if qt.isEmpty():
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored = (tdf.join(F.broadcast(qt), "term")
+              .withColumn(
+                  "contrib",
+                  F.col("idf") * (F.col("tf") * (k1 + 1.0))
+                  / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))))
+    return (scored.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("term", "contrib")))
+                 .alias("parts"))
+            .select("doc_id",
+                    F.aggregate("parts", F.lit(0.0),
+                                lambda acc, x: acc + x["contrib"]).alias("score")))
+
+
+def bm25_topk(tdf: DataFrame, tstats: DataFrame, n_docs: int, avgdl: float,
+              query: str, k: int = 10) -> DataFrame:
+    """Analyze the query with the SAME chain as indexing, then top-k with a
+    total tie-break (score desc, doc_id asc) -> TakeOrderedAndProject."""
+    terms = [t.term for t in analyze(query)]
+    if not terms:
+        return tdf.sparkSession.createDataFrame([], "doc_id long, score double")
+    scores = bm25_scores(tdf, tstats, n_docs, avgdl, terms)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
