@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship: full Lucene-parity analysis chain -> posting
+                 blocks -> block-max WAND BM25 top-10, on sf0.001.
+``queries``    — operator coverage per SURVEY.md §2; each callable takes
+                 (spark, sf_dir) and returns a DataFrame.
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (same column names,
+                 types aligned, floats rounded at the contract boundary).
+
+Entries present in ``queries`` but not ``oracle_sql`` are the genuinely
+non-SQL-expressible ones (the full analyzer chain + WAND engine — its SQL
+oracle cannot tokenize with WDGF/Porter2); those are validated instead by
+golden vectors and a pure-pandas oracle in tests/ (rows-only check here).
 """
 
 from __future__ import annotations
@@ -13,26 +19,54 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+FLAGSHIP_QUERY = "fast merge join order"
+
+
+def _fullchain_wand(spark: SparkSession, sf_dir: str,
+                    queries: dict[str, str]) -> DataFrame:
+    """Full-chain engine: analyze -> postings -> WAND topk per query."""
+    import pyspark.sql.functions as F
+
+    from php_lucene_analyzer_spark.operators import fulltext as ft
+    from php_lucene_analyzer_spark.operators.postings import build_postings
+    from php_lucene_analyzer_spark.operators.wand import wand_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tdf = ft.term_doc_freqs(docs, "doc_id", "text").cache()
+    n, avgdl = ft.corpus_stats(tdf)
+    tdict = ft.term_dict(ft.term_stats(tdf)).cache()
+    postings = build_postings(tdf, tdict, avgdl).cache()
+    out = None
+    for qid, q in queries.items():
+        topk = (wand_topk(postings, tdict, n, avgdl, q, k=10)
+                .select(F.lit(qid).alias("qid"), "doc_id", "score"))
+        out = topk if out is None else out.unionAll(topk)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _fullchain_wand(spark, "/root/testdata/sf0.001",
+                           {"flagship": FLAGSHIP_QUERY})
+
+
+def _wand_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fullchain_wand(spark, sf_dir, {
+        "w1": FLAGSHIP_QUERY,
+        "w2": "the spark stream batch",
+        "w3": "window sort vector",
+    })
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from php_lucene_analyzer_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out["wand_fullchain"] = _wand_suite  # rows-only: non-SQL-expressible
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from php_lucene_analyzer_spark.oracles import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,195 @@
+"""DuckDB oracle SQL — one ANSI statement per entry in queries.QUERIES.
+
+Each statement runs against the driver's pre-registered parquet views and
+must reproduce the Spark result exactly (names, types aligned, floats
+rounded at the contract boundary).  Dialect notes: DuckDB lists are
+1-indexed (Spark arrays 0-indexed), sum(BIGINT) is HUGEINT (cast back),
+regexp_replace needs the 'g' flag (Spark replaces all by default).
+"""
+
+from __future__ import annotations
+
+from .analysis.filters import ENGLISH_STOP_WORDS
+from .queries import ANN_K, ANN_N_QUERIES, BM25_QUERIES
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
+
+_TOK = """
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+)"""
+
+_TF = """
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)"""
+
+_QVALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts)
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["tf"] = f"""
+WITH {_TOK}, {_TF}
+SELECT doc_id, term, tf FROM tf
+"""
+
+ORACLES["doc_stats"] = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''))::BIGINT AS dl,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+ORACLES["term_stats"] = f"""
+WITH {_TOK}, {_TF}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY 1
+"""
+
+ORACLES["term_dict"] = f"""
+WITH {_TOK}, {_TF},
+ts AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       FROM tf GROUP BY 1)
+SELECT row_number() OVER (ORDER BY term)::BIGINT AS term_id, term, df, cf
+FROM ts
+"""
+
+ORACLES["bm25_topk"] = f"""
+WITH {_TOK}, {_TF},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+q(qid, term) AS (VALUES {_QVALUES}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         round(sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))),
+               4) AS score
+  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2)
+SELECT qid, rank, doc_id, score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM scores) WHERE rank <= 10
+"""
+
+ORACLES["text_quality"] = f"""
+WITH {_TOK}
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(avg(length(term)), 4) AS avg_token_len,
+       round(sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)::BIGINT
+             / count(*)::BIGINT, 4) AS stop_ratio,
+       (sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)::BIGINT
+        / count(*)::BIGINT) > 0.05 AS is_english
+FROM tok GROUP BY 1
+"""
+
+ORACLES["fingerprint"] = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT sha256(text) AS h, count(*)::BIGINT AS n,
+       min(doc_id)::BIGINT AS keeper
+FROM documents GROUP BY 1
+"""
+
+ORACLES["minhash"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3 THEN
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ELSE []::VARCHAR[] END) AS s
+  FROM toks)
+SELECT doc_id,
+       min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+       min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3
+FROM sh GROUP BY 1
+"""
+
+ORACLES["jaccard_adjacent"] = f"""
+WITH {_TOK},
+d AS (SELECT DISTINCT doc_id, term FROM tok),
+c AS (SELECT doc_id, count(*)::BIGINT AS c FROM d GROUP BY 1),
+inter AS (
+  SELECT a.doc_id, count(*)::BIGINT AS inter
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND b.term = a.term
+  GROUP BY 1)
+SELECT i.doc_id, i.inter,
+       round(i.inter / (ca.c + cb.c - i.inter), 4) AS jaccard
+FROM inter i
+JOIN c ca ON ca.doc_id = i.doc_id
+JOIN c cb ON cb.doc_id = i.doc_id + 1
+"""
+
+ORACLES["ann_cosine"] = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {ANN_N_QUERIES}),
+pairs AS (
+  SELECT q.qid, b.vec_id,
+         list_sum(list_transform(generate_series(1, len(b.embedding)),
+                  i -> q.qe[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(generate_series(1, len(q.qe)),
+                  i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS nq,
+         sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                  i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) AS nb
+  FROM embeddings b, q WHERE b.vec_id <> q.qid)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT qid, vec_id, round(dot / (nq * nb), 4) AS cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(dot / (nq * nb), 4) DESC,
+                                     vec_id)::BIGINT AS rank
+  FROM pairs) WHERE rank <= {ANN_K}
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["top_revenue"] = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY revenue DESC, n_name LIMIT 10
+"""
+
+ORACLES["sessionize"] = """
+WITH g AS (
+  SELECT user_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM g GROUP BY 1
+"""

@@ -1,0 +1,276 @@
+"""Driver-contract query suite (SURVEY.md §2 coverage, oracle-matched).
+
+Every function here takes (spark, sf_dir) and returns a DataFrame whose
+row-set matches the DuckDB SQL in ``oracles.py`` exactly (same column
+names, types aligned, floats rounded at the contract boundary).
+
+Design rule: these run 100% JVM-side (built-in pyspark.sql.functions —
+whole-stage codegen, pushdown, broadcast joins).  The *simplified SQL
+analyzer* used here (lower + [^a-z0-9]+ split + stop list) exists so the
+relational skeleton (explode, aggs, windows, joins, top-k) is verifiable
+against an independent engine; the full Lucene-parity chain (WDGF,
+Porter2, position graph) is exercised by the pandas-UDF path and checked
+by golden vectors + the pure-pandas oracle in tests/.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .analysis.filters import ENGLISH_STOP_WORDS
+from .operators.fulltext import B, K1
+
+STOPWORDS = sorted(ENGLISH_STOP_WORDS)
+
+# fixed BM25 query set (terms from the documents vocabulary)
+BM25_QUERIES = {
+    "q1": ["fast", "merge", "join"],
+    "q2": ["window", "order", "sort", "table"],
+    "q3": ["spark", "stream", "batch"],
+    "q4": ["slow", "customer", "value"],
+}
+
+ANN_N_QUERIES = 5
+ANN_K = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens_col(col: str = "text"):
+    """array<string> of non-empty lowercase [a-z0-9]+ tokens."""
+    return F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""))
+
+
+def _tok_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(_tokens_col()).alias("term")))
+
+
+def q_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency per (doc, term) — partial+final hash agg."""
+    return (_tok_rows(spark, sf_dir)
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc length + the per-row content sha256 invariant (input_hint)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_tokens_col()).cast("long").alias("dl"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"))
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df / cf per term over the corpus."""
+    return (q_tf(spark, sf_dir)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+
+
+def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted term dictionary with dense ids (the FST-role table)."""
+    w = Window.orderBy("term")
+    return (q_term_stats(spark, sf_dir)
+            .withColumn("term_id", F.row_number().over(w).cast("long"))
+            .select("term_id", "term", "df", "cf"))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per fixed query, pure DataFrame ops (JVM-side).
+
+    Scores rounded to 4dp at the contract boundary; rank over the rounded
+    score with doc_id tie-break so both engines rank identically.
+    """
+    tf = q_tf(spark, sf_dir)
+    dl = (_tok_rows(spark, sf_dir).groupBy("doc_id")
+          .agg(F.count("*").alias("dl")))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
+        "qid string, term string")
+    dfq = (tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+           .groupBy("term").agg(F.count("*").alias("df")))
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .join(F.broadcast(dfq), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn(
+                  "contrib",
+                  F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5))
+                  * F.col("tf") * F.lit(K1 + 1.0)
+                  / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))))
+              .groupBy("qid", "doc_id")
+              .agg(F.round(F.sum("contrib"), 4).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "rank", "doc_id", "score"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality scoring (training-data pipeline op)."""
+    tok = _tok_rows(spark, sf_dir)
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
+        F.round(F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0))
+                / F.count("*"), 4).alias("stop_ratio"))
+    return agg.withColumn("is_english", F.col("stop_ratio") > 0.05) \
+              .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio",
+                      "is_english")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint (dedup key): md5 of ws-collapsed lower."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                      r"\s+", " "))).alias("fingerprint"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash -> (hash, n, keeper=min doc_id)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+            .groupBy("h")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper")))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch (4 portable md5 permutations) over word 3-shingles.
+
+    Shingle -> md5(salt || shingle) -> min per doc: the LSH building block
+    for near-dup detection; portable because md5 is identical everywhere.
+    Docs with <3 tokens have no shingles and drop out (both engines).
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    shingled = docs.select(
+        "doc_id",
+        F.when(F.size("toks") >= 3, F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1],
+                                  F.col("toks")[i + 2]))
+         ).otherwise(F.array().cast("array<string>")).alias("shingles"))
+    ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    return ex.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(str(salt) + ":"), F.col("s"))))
+         .alias(f"h{salt}") for salt in range(4)])
+
+
+def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (1-gram) Jaccard between doc d and d+1 — near-dup scoring
+    shape: exploded distinct terms, shifted self-join, set algebra."""
+    terms = (_tok_rows(spark, sf_dir).distinct())
+    counts = terms.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = terms.alias("a")
+    b = terms.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("term")).alias("b")
+    inter = (a.join(b, ["doc_id", "term"])
+             .groupBy("doc_id").agg(F.count("*").alias("inter")))
+    ca = counts.alias("ca")
+    cb = counts.select((F.col("doc_id") - 1).alias("doc_id"),
+                       F.col("c").alias("cb"))
+    return (inter.join(ca, "doc_id").join(cb, "doc_id")
+            .select("doc_id",
+                    F.col("inter"),
+                    F.round(F.col("inter")
+                            / (F.col("c") + F.col("cb") - F.col("inter")), 4)
+                    .alias("jaccard")))
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline): first 5 vectors vs all.
+
+    Dot/norms computed element-wise in float64 in array order (zip_with +
+    aggregate) — deterministic float semantics; broadcast the query side.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", to_d.alias("e"))
+    qs = base.filter(F.col("vec_id") < ANN_N_QUERIES) \
+             .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    dot = F.aggregate(F.zip_with("qe", "e", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (lambda c: F.sqrt(F.aggregate(
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x)))
+    sims = (base.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id",
+                    F.round(dot / (nrm("qe") * nrm("e")), 4).alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (sims.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= ANN_K)
+            .select("qid", "rank", "vec_id", "cosine"))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (pushdown check)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + agg + top-k: revenue per nation via customer dim."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+            .limit(10))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over events: lag + gap>30min cumsum (window fns)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; session TZ pinned UTC so the
+    # cast matches DuckDB's naive epoch_us exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(us - F.lag(us).over(w) > 1_800_000_000, 1)
+         .otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)))
+    return (gaps.groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+QUERIES = {
+    "tf": q_tf,
+    "doc_stats": q_doc_stats,
+    "term_stats": q_term_stats,
+    "term_dict": q_term_dict,
+    "bm25_topk": q_bm25_topk,
+    "text_quality": q_text_quality,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash": q_minhash,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "ann_cosine": q_ann_cosine,
+    "tpch_q1": q_tpch_q1,
+    "top_revenue": q_top_revenue,
+    "sessionize": q_sessionize,
+}
