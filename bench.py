@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+* ``index_build`` — full Lucene-parity chain -> term/doc freqs -> term dict
+  -> VByte posting blocks, on the documents table (docs/sec reported);
+* ``synth_build`` — same pipeline over the deterministic input_hint-shaped
+  synthetic corpus (BENCH_SYNTH_DOCS docs, default 20000) — the
+  north-rule throughput number at a meaningful doc count;
+* every oracle-suite query (one timed run each);
+* ``bm25_p95`` — block-max WAND top-10 latency, p50/p95 over the fixed
+  query set run BENCH_QUERY_REPS times (default 5).
+
+Output: {"metric": "bench_suite_total", "value": <total sec>, "unit":
+"sec", "queries": {...per-stage sec...}, "sf": ..., "docs_per_sec": ...,
+"synth_docs_per_sec": ..., "bm25_p50_sec": ..., "bm25_p95_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_docs = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "5"))
+
+    from php_lucene_analyzer_spark.operators import fulltext as ft
+    from php_lucene_analyzer_spark.operators.postings import build_postings
+    from php_lucene_analyzer_spark.operators.wand import wand_topk
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+    from php_lucene_analyzer_spark.queries import QUERIES
+    from php_lucene_analyzer_spark.session import get_spark
+
+    spark = get_spark(app="bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    t_all = time.time()
+
+    # --- index build on the documents table (full chain -> postings) ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    t0 = time.time()
+    tdf = ft.term_doc_freqs(docs, "doc_id", "text").cache()
+    n, avgdl = ft.corpus_stats(tdf)
+    tdict = ft.term_dict(ft.term_stats(tdf)).cache()
+    postings = build_postings(tdf, tdict, avgdl).cache()
+    postings.count()
+    tdict.count()
+    dt = time.time() - t0
+    timings["index_build"] = round(dt, 3)
+    extra["docs_per_sec"] = round(n_docs / dt, 1)
+
+    # --- BM25 WAND latency over the fixed query set ---
+    wand_queries = ["fast merge join order", "the spark stream batch",
+                    "window sort vector", "slow customer value",
+                    "dup big row column"]
+    lat = []
+    for _ in range(reps):
+        for q in wand_queries:
+            tq = time.time()
+            wand_topk(postings, tdict, n, avgdl, q, k=10).collect()
+            lat.append(time.time() - tq)
+    lat.sort()
+    extra["bm25_p50_sec"] = round(lat[len(lat) // 2], 4)
+    extra["bm25_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
+    timings["bm25_wand_suite"] = round(sum(lat) / reps, 3)
+
+    # --- oracle-suite queries: 1 untimed warmup (JIT/codegen) + 1 timed ---
+    for name, fn in QUERIES.items():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        tq = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - tq, 3)
+
+    # --- synthetic input_hint corpus build (north-rule throughput) ---
+    t0 = time.time()
+    corpus = synthetic_corpus(spark, synth_docs)
+    sdocs = ft.with_doc_ids(corpus, ["repo", "path"])
+    stdf = ft.term_doc_freqs(sdocs, "doc_id", "content").cache()
+    sn, savgdl = ft.corpus_stats(stdf)  # materializes the analyzer once
+    stdict = ft.term_dict(ft.term_stats(stdf)).cache()
+    sp = build_postings(stdf, stdict, savgdl)
+    sp.write.format("noop").mode("overwrite").save()
+    stdf.unpersist()
+    stdict.unpersist()
+    dt = time.time() - t0
+    timings["synth_build"] = round(dt, 3)
+    extra["synth_docs_per_sec"] = round(synth_docs / dt, 1)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

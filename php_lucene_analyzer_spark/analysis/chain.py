@@ -32,6 +32,9 @@ from .porter2 import stem
 from .tokenizer import Token, standard_tokenize
 from .word_delimiter import word_delimiter_graph
 
+__all__ = ["analyze", "analyze_terms", "analyze_udf", "term_vectors_udf",
+           "TOKEN_SCHEMA", "TERM_VECTOR_SCHEMA"]
+
 
 def analyze(text: str, stemming: bool = True,
             stop_words: frozenset[str] = ENGLISH_STOP_WORDS) -> list[Token]:
@@ -73,14 +76,55 @@ def _analyze_series(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+class _TokenPipeCache(dict):
+    """raw token text -> tuple of FINAL emitted terms (after WDGF + lower +
+    stop + stem).  Every downstream stage is a pure function of the raw
+    token text, so the whole pipeline tail is memoizable per unique token —
+    the vocabulary-level trick (SURVEY §4) applied to the entire chain.
+    Correctness vs the unfused path is asserted by tests/test_analysis.py.
+    """
+
+    def __missing__(self, raw: str) -> tuple[str, ...]:
+        toks = word_delimiter_graph(
+            [Token(raw, 0, len(raw), 1, 1, "<ALPHANUM>")])
+        toks = stop(lowercase(toks))
+        v = tuple(stem(t.term) for t in toks)
+        if len(self) < 2_000_000:
+            self[raw] = v
+        return v
+
+
+_PIPE_CACHE = _TokenPipeCache()
+
+
+def analyze_terms(text: str) -> list[str]:
+    """Fast path: the multiset of final terms (order = emission order).
+
+    Skips offset/position bookkeeping — used for term-vector/tf extraction
+    where only the term stream matters.  len(result) == dl.
+    """
+    from .tokenizer import MAX_TOKEN_LEN, TYPE_ALPHANUM, TYPE_NUM, token_spans
+
+    out: list[str] = []
+    for s, e, ttype in token_spans(text):
+        if e - s > MAX_TOKEN_LEN:
+            continue
+        raw = text[s:e]
+        if ttype is TYPE_ALPHANUM or ttype is TYPE_NUM:
+            out.extend(_PIPE_CACHE[raw])
+        else:
+            out.append(raw.lower())  # CJK/SEA: no WDGF/stem, lowercase only
+    return out
+
+
 def _term_vectors_series(texts: pd.Series) -> pd.DataFrame:
     terms_col, dl_col = [], []
     for text in texts:
-        toks = analyze(text or "")
-        counts = Counter(t.term for t in toks)
+        terms = analyze_terms(text or "")
+        counts = Counter(terms)
         # dl = token count (Lucene norm uses the number of indexed terms)
         terms_col.append(sorted(counts.items()))
-        dl_col.append(len(toks))
+        dl_col.append(len(terms))
     return pd.DataFrame({"terms": terms_col, "dl": dl_col})
 
 

@@ -55,7 +55,9 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(edges[0::2].tolist(), edges[1::2].tolist()))
 
 
-def standard_tokenize(text: str) -> list[Token]:
+def token_spans(text: str) -> list[tuple[int, int, str]]:
+    """(start, end, type) spans — the vectorized core shared by the full
+    token-graph path and the fast term-vector path."""
     cps = C.to_codepoints(text)
     n = cps.size
     if n == 0:
@@ -84,26 +86,35 @@ def standard_tokenize(text: str) -> list[Token]:
     word_mask = wordish | mid
 
     spans: list[tuple[int, int, str]] = []
-    for s, e in _runs(word_mask):
-        seg = cls[s:e]
-        has_alpha = bool((seg == C.ALPHA).any())
-        has_digit = bool((seg == C.DIGIT).any())
-        if not (has_alpha or has_digit):
-            continue  # bare connector runs ("___") emit nothing
-        spans.append((s, e, TYPE_ALPHANUM if has_alpha else TYPE_NUM))
+    runs = _runs(word_mask)
+    if runs:
+        # vectorized per-span ALPHA/DIGIT presence via prefix sums
+        ps_alpha = np.concatenate(([0], np.cumsum(cls == C.ALPHA)))
+        ps_digit = np.concatenate(([0], np.cumsum(cls == C.DIGIT)))
+        for s, e in runs:
+            if ps_alpha[e] - ps_alpha[s] > 0:
+                spans.append((s, e, TYPE_ALPHANUM))
+            elif ps_digit[e] - ps_digit[s] > 0:
+                spans.append((s, e, TYPE_NUM))
+            # else: bare connector run ("___") emits nothing
 
-    for klass, ttype in ((C.KATAKANA, TYPE_KATAKANA), (C.HANGUL, TYPE_HANGUL),
-                         (C.SEA, TYPE_SEA)):
-        for s, e in _runs(cls == klass):
-            spans.append((s, e, ttype))
-    for klass, ttype in ((C.HAN, TYPE_IDEOGRAPHIC), (C.HIRAGANA, TYPE_HIRAGANA)):
-        for i in np.flatnonzero(cls == klass).tolist():
-            spans.append((i, i + 1, ttype))
+    if cls.max() >= C.HIRAGANA:  # CJK/SEA classes are all >= HIRAGANA
+        for klass, ttype in ((C.KATAKANA, TYPE_KATAKANA),
+                             (C.HANGUL, TYPE_HANGUL), (C.SEA, TYPE_SEA)):
+            for s, e in _runs(cls == klass):
+                spans.append((s, e, ttype))
+        for klass, ttype in ((C.HAN, TYPE_IDEOGRAPHIC),
+                             (C.HIRAGANA, TYPE_HIRAGANA)):
+            for i in np.flatnonzero(cls == klass).tolist():
+                spans.append((i, i + 1, ttype))
+        spans.sort()
+    return spans
 
-    spans.sort()
+
+def standard_tokenize(text: str) -> list[Token]:
     out: list[Token] = []
     skipped = 0
-    for s, e, ttype in spans:
+    for s, e, ttype in token_spans(text):
         if e - s > MAX_TOKEN_LEN:  # drop overlong, count the hole
             skipped += 1
             continue

@@ -64,23 +64,38 @@ def _make_vocab() -> list[str]:
 _VOCAB = _make_vocab()
 
 
+# Zipf-distributed identifier choice: heavy head terms appear everywhere
+_ZIPF_W = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.1
+_ZIPF_W /= _ZIPF_W.sum()
+_ZIPF_CDF = np.cumsum(_ZIPF_W)
+
+
 def _gen_content(idx: int) -> str:
     rng = np.random.default_rng(42 + idx)
     n_lines = int(rng.integers(5, 40))
-    # Zipf-distributed identifier choice: heavy head terms appear everywhere
-    zipf_w = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.1
-    zipf_w /= zipf_w.sum()
+    # one batched draw per doc instead of per line (rng calls dominate)
+    kinds = rng.integers(0, 10, size=n_lines)
+    kws = rng.integers(0, len(_KEYWORDS), size=n_lines)
+    nids = rng.integers(2, 6, size=n_lines)
+    rets = rng.integers(0, 9999, size=n_lines)
+    ncw = rng.integers(4, 12, size=n_lines)
+    ids_all = np.searchsorted(_ZIPF_CDF, rng.random(int(nids.sum())))
+    cw_all = rng.integers(0, len(_COMMENT_WORDS), size=int(ncw.sum()))
     lines = []
-    for _ in range(n_lines):
-        kind = rng.integers(0, 10)
-        if kind < 2:  # comment line — stopword-rich English
-            words = rng.choice(_COMMENT_WORDS, size=int(rng.integers(4, 12)))
+    ip = cp = 0
+    for li in range(n_lines):
+        if kinds[li] < 2:  # comment line — stopword-rich English
+            k = int(ncw[li])
+            words = [_COMMENT_WORDS[j] for j in cw_all[cp:cp + k]]
+            cp += k
             lines.append("// " + " ".join(words))
         else:
-            kw = _KEYWORDS[int(rng.integers(0, len(_KEYWORDS)))]
-            ids = rng.choice(len(_VOCAB), size=int(rng.integers(2, 6)), p=zipf_w)
-            args = ", ".join(_VOCAB[i] for i in ids[1:])
-            lines.append(f"{kw} {_VOCAB[ids[0]]}({args}) {{ return {int(rng.integers(0, 9999))}; }}")
+            k = int(nids[li])
+            ids = ids_all[ip:ip + k]
+            ip += k
+            args = ", ".join(_VOCAB[j] for j in ids[1:])
+            lines.append(f"{_KEYWORDS[kws[li]]} {_VOCAB[ids[0]]}({args})"
+                         f" {{ return {rets[li]}; }}")
     return "\n".join(lines)
 
 

@@ -65,6 +65,12 @@ def term_doc_freqs(docs: DataFrame, id_col: str = "doc_id",
     The analyzer UDF emits per-doc (term, tf) pairs already aggregated, so
     no groupBy over raw tokens ever happens (map-side combine in Python).
     """
+    spark = docs.sparkSession
+    min_par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min_par:
+        # a single parquet file scans as 1 split; spread the Python
+        # analyzer across all cores (prod inputs have many splits)
+        docs = docs.repartition(min_par)
     tv = docs.select(F.col(id_col).alias("doc_id"),
                      term_vectors_udf()(F.col(text_col)).alias("tv"))
     return (tv.select("doc_id", F.col("tv.dl").alias("dl"),

@@ -40,15 +40,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens_col(col: str = "text"):
-    """array<string> of non-empty lowercase [a-z0-9]+ tokens."""
-    return F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
-                    lambda x: x != F.lit(""))
+    """array<string> of non-empty lowercase [a-z0-9]+ tokens.
+
+    array_remove instead of a filter() lambda: higher-order functions are
+    interpreted per element (no whole-stage codegen) — an order of
+    magnitude slower on hot paths.
+    """
+    return F.array_remove(F.split(F.lower(F.col(col)), "[^a-z0-9]+"), "")
 
 
 def _tok_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term) — one row per token occurrence."""
+    """(doc_id, term) — one row per token occurrence.
+
+    Explode the raw split and filter rows (codegen'd) rather than
+    filtering inside the array (interpreted lambda).
+    """
     return (_docs(spark, sf_dir)
-            .select("doc_id", F.explode(_tokens_col()).alias("term")))
+            .select("doc_id",
+                    F.explode(F.split(F.lower(F.col("text")),
+                                      "[^a-z0-9]+")).alias("term"))
+            .filter(F.col("term") != ""))
 
 
 def q_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,16 +161,21 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for near-dup detection; portable because md5 is identical everywhere.
     Docs with <3 tokens have no shingles and drop out (both engines).
     """
-    docs = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
-    shingled = docs.select(
-        "doc_id",
-        F.when(F.size("toks") >= 3, F.transform(
-            F.sequence(F.lit(0), F.size("toks") - 3),
-            lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1],
-                                  F.col("toks")[i + 2]))
-         ).otherwise(F.array().cast("array<string>")).alias("shingles"))
-    ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
-    return ex.groupBy("doc_id").agg(*[
+    # window-lead shingling over exploded tokens: stays in whole-stage
+    # codegen (a transform(sequence(...)) lambda would be interpreted)
+    ex = (_docs(spark, sf_dir)
+          .select("doc_id",
+                  F.posexplode(F.split(F.lower(F.col("text")),
+                                       "[^a-z0-9]+")).alias("pos", "term"))
+          .filter(F.col("term") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (ex.select(
+            "doc_id",
+            F.concat_ws(" ", "term", F.lead("term", 1).over(w),
+                        F.lead("term", 2).over(w)).alias("s"),
+            F.lead("term", 2).over(w).alias("t2"))
+          .filter(F.col("t2").isNotNull()))
+    return sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(str(salt) + ":"), F.col("s"))))
          .alias(f"h{salt}") for salt in range(4)])
 

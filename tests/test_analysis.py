@@ -78,3 +78,23 @@ def test_empty_and_whitespace():
     assert standard_tokenize("") == []
     assert standard_tokenize("   \n\t ...!!! ") == []
     assert analyze("the a an of") == []
+
+
+def test_fast_path_matches_full_chain():
+    """analyze_terms (memoized fast path) must emit the same term multiset
+    and dl as the unfused chain, for every golden input + corpus samples."""
+    import json
+    from collections import Counter
+
+    from php_lucene_analyzer_spark.analysis.chain import analyze_terms
+    from php_lucene_analyzer_spark.corpus import _gen_content
+
+    cases = [c["input"] for c in
+             json.loads((FIXTURES / "tokenizer_golden.json").read_text())]
+    cases += [_gen_content(i) for i in range(25)]
+    cases += ["", "the a an", "汉字 test O'Neil's j2se " + "x" * 300]
+    for text in cases:
+        slow = analyze(text)
+        fast = analyze_terms(text)
+        assert Counter(t.term for t in slow) == Counter(fast), text[:60]
+        assert len(slow) == len(fast)
