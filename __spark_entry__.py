@@ -34,11 +34,11 @@ def _fullchain_wand(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tdf = ft.term_doc_freqs(docs, "doc_id", "text").cache()
     n, avgdl = ft.corpus_stats(tdf)
-    tdict = ft.term_dict(ft.term_stats(tdf)).cache()
-    postings = build_postings(tdf, tdict, avgdl).cache()
+    tstats = ft.term_stats(tdf).cache()
+    postings = build_postings(tdf).cache()
     out = None
     for qid, q in queries.items():
-        topk = (wand_topk(postings, tdict, n, avgdl, q, k=10)
+        topk = (wand_topk(postings, tstats, n, avgdl, q, k=10)
                 .select(F.lit(qid).alias("qid"), "doc_id", "score"))
         out = topk if out is None else out.unionAll(topk)
     return out

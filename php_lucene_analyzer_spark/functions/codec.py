@@ -47,6 +47,45 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vbyte_encode_slices(values: np.ndarray,
+                        seg_starts: np.ndarray) -> list[bytes]:
+    """Encode one big array in ONE vectorized pass, returning a bytes blob
+    per segment (segments given by their start indices, ascending,
+    covering the whole array).  Equivalent to calling vbyte_encode per
+    segment, but without the per-tiny-array NumPy overhead — this is what
+    makes posting-block encoding throughput-bound rather than
+    call-overhead-bound."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    np.maximum(nbits, 1, out=nbits)
+    ends = np.cumsum(nbits)
+    total = int(ends[-1])
+    starts = ends - nbits
+    out = np.zeros(total, dtype=np.uint8)
+    for j in range(_MAX_BYTES):
+        sel = nbits > j
+        if not sel.any():
+            break
+        pos = starts[sel] + j
+        byte = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbits[sel] - 1 > j).astype(np.uint8) << 7
+        out[pos] = byte.astype(np.uint8) | cont
+    seg_byte_starts = starts[seg_starts]
+    seg_byte_ends = np.concatenate((seg_byte_starts[1:], [total]))
+    buf = out.tobytes()
+    return [buf[int(s):int(e)]
+            for s, e in zip(seg_byte_starts, seg_byte_ends)]
+
+
 def vbyte_decode(buf: bytes) -> np.ndarray:
     """Decode VByte bytes back to a uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact dedup     — hash groupBy (queries.q_dedup_exact is the oracle-
+                    matched form; ``exact_dedup`` here returns the keep
+                    set directly)
+* MinHash + LSH   — shingle -> 64 portable minhashes -> band buckets ->
+                    candidate join -> exact-Jaccard verification.  The
+                    candidate join is the scalable near-dup path: no
+                    full O(n²) pair enumeration; buckets shuffle-join on
+                    the band key.
+* SimHash         — 64-bit sign-of-weighted-sum fingerprint; near-dups
+                    differ in few bits (Hamming).  Banded on 4x16-bit
+                    sub-keys for candidate generation (Charikar/Manku
+                    et-al. scheme, public literature).
+
+All Python work is Arrow-batched (mapInPandas); hashes are blake2b-based
+(stdlib, stable across processes — NEVER Python's salted hash()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _stable_u64(data: bytes) -> int:
+    return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical content -> (doc_id, keeper)."""
+    h = docs.select(F.col(id_col).alias("doc_id"),
+                    F.sha2(F.col(text_col), 256).alias("h"))
+    keep = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return h.join(keep, "h").select("doc_id", "keeper")
+
+
+# ---------------------------------------------------------------- MinHash
+
+def _minhash_batch(texts: pd.Series, n_hashes: int,
+                   shingle_k: int) -> np.ndarray:
+    """(len(texts), n_hashes) uint64 minhash signatures over word
+    k-shingles.  One blake2b per shingle; the n_hashes 'permutations' are
+    xor-folds with fixed odd multipliers (splitmix-style, deterministic)."""
+    mults = (np.arange(1, n_hashes + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
+    out = np.full((len(texts), n_hashes), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = (text or "").lower().split()
+        if len(toks) < shingle_k:
+            continue
+        base = np.fromiter(
+            (_stable_u64(" ".join(toks[j:j + shingle_k]).encode())
+             for j in range(len(toks) - shingle_k + 1)),
+            dtype=np.uint64)
+        # h_i(x) = rotate/fold of base with multiplier i (universal-ish)
+        for hi in range(n_hashes):
+            v = base * mults[hi]
+            v ^= v >> np.uint64(31)
+            out[i, hi] = v.min()
+    return out
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 64,
+                       shingle_k: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>) — Arrow-batched signature computation."""
+    def gen(batches):
+        for pdf in batches:
+            sig = _minhash_batch(pdf[text_col], n_hashes, shingle_k)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "sig": [row.astype(np.int64).tolist() for row in sig],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      min_jaccard: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH.
+
+    rows/band = n_hashes/bands; a pair collides in a band iff that band's
+    signature slice matches exactly -> candidates = self-join on
+    (band_id, band_hash) buckets (shuffle join on the bucket key — never
+    O(n²)).  Candidates are verified with the ESTIMATED Jaccard (matching
+    signature fraction); threshold on that.  Returns
+    (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    sigs = sigs.cache()
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.xxhash64(*[F.col("sig")[bi * rows_per_band + r]
+                              for r in range(rows_per_band)]).alias("bh"))
+        for bi in range(bands)]
+    buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+               .select("doc_id", F.col("b.band").alias("band"),
+                       F.col("b.bh").alias("bh")))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig").alias("sig_b"))
+    est = (cand.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn(
+               "est_jaccard",
+               F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> "
+                      "x = y), v -> v)) / size(sig_a)"))
+           .select("doc_a", "doc_b", F.round("est_jaccard", 6)
+                   .alias("est_jaccard")))
+    return est.filter(F.col("est_jaccard") >= min_jaccard)
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — 64-bit Charikar fingerprint over unigram
+    term frequencies (bit b is the sign of Σ tf·(±1 per term-hash bit))."""
+    def gen(batches):
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                toks = (text or "").lower().split()
+                if not toks:
+                    out[i] = 0
+                    continue
+                uniq, counts = np.unique(np.array(toks, dtype=object),
+                                         return_counts=True)
+                hs = np.fromiter((_stable_u64(t.encode()) for t in uniq),
+                                 dtype=np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                out[i] = int(
+                    np.bitwise_or.reduce(
+                        (acc > 0).astype(np.uint64)
+                        << np.arange(64, dtype=np.uint64)).astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
+                                "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, simhash long")
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs whose simhashes differ by <= max_hamming bits.
+    Banding on 4x16-bit sub-keys (a pair within Hamming distance 3 must
+    agree on at least one of 4 bands) then exact popcount verification."""
+    sh = simhash64(docs, id_col, text_col).cache()
+    band_cols = [F.struct(
+        F.lit(bi).alias("band"),
+        F.shiftrightunsigned(F.col("simhash"), bi * 16)
+         .bitwiseAND(F.lit(0xFFFF)).alias("key")) for bi in range(4)]
+    buckets = (sh.select("doc_id", "simhash",
+                         F.explode(F.array(*band_cols)).alias("b"))
+               .select("doc_id", "simhash",
+                       F.col("b.band").alias("band"),
+                       F.col("b.key").alias("key")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("ha"),
+                    F.col("b.simhash").alias("hb"))
+            .distinct())
+    return (cand.withColumn("hamming",
+                            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -62,29 +62,65 @@ def term_doc_freqs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "content") -> DataFrame:
     """(doc_id, term, tf, dl) — one row per distinct term per doc.
 
-    The analyzer UDF emits per-doc (term, tf) pairs already aggregated, so
-    no groupBy over raw tokens ever happens (map-side combine in Python).
+    mapInPandas emitting FLAT columns: term frequencies are aggregated
+    per document inside the Python worker (map-side combine — no groupBy
+    over raw tokens ever exists), and the output is four plain Arrow
+    columns.  An array<struct> + JVM explode variant benchmarked ~2x
+    slower (list-of-tuples construction in Python + nested Arrow
+    encoding dominate).
     """
+    import numpy as np
+    from collections import Counter
+
+    from ..analysis.chain import analyze_terms
+
     spark = docs.sparkSession
     min_par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < min_par:
         # a single parquet file scans as 1 split; spread the Python
         # analyzer across all cores (prod inputs have many splits)
         docs = docs.repartition(min_par)
-    tv = docs.select(F.col(id_col).alias("doc_id"),
-                     term_vectors_udf()(F.col(text_col)).alias("tv"))
-    return (tv.select("doc_id", F.col("tv.dl").alias("dl"),
-                      F.explode("tv.terms").alias("t"))
-              .select("doc_id", "dl", F.col("t.term").alias("term"),
-                      F.col("t.tf").alias("tf")))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            texts = pdf[text_col]
+            terms: list[str] = []
+            tfs: list[int] = []
+            nkeys = np.empty(len(ids), dtype=np.int64)
+            dls = np.empty(len(ids), dtype=np.int64)
+            for i, text in enumerate(texts):
+                toks = analyze_terms(text or "")
+                c = Counter(toks)
+                ks = sorted(c)
+                terms.extend(ks)
+                tfs.extend(c[k] for k in ks)
+                nkeys[i] = len(ks)
+                dls[i] = len(toks)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids, nkeys),
+                "dl": np.repeat(dls, nkeys),
+                "term": terms,
+                "tf": np.asarray(tfs, dtype=np.int32),
+            })
+
+    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        gen, schema="doc_id long, dl int, term string, tf int")
 
 
 def corpus_stats(tdf: DataFrame) -> tuple[int, float]:
-    """(N docs, avg doc length). One tiny agg; cache upstream if reused."""
-    row = (tdf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-              .collect()[0])
-    return int(row["n"]), float(row["avgdl"] or 0.0)
+    """(N docs, avg doc length) in ONE map-side-combined agg pass.
+
+    dl == Σtf within a doc, so avgdl = Σtf / N exactly (integer sums are
+    exact; the single double division matches the per-doc-average form
+    bit-for-bit).  Docs that analyze to zero terms have no tdf rows and
+    are excluded — matching the pandas oracle's definition.
+    """
+    row = tdf.agg(F.count_distinct("doc_id").alias("n"),
+                  F.sum("tf").alias("total")).collect()[0]
+    n = int(row["n"] or 0)
+    return n, (float(row["total"]) / n if n else 0.0)
 
 
 def term_stats(tdf: DataFrame) -> DataFrame:

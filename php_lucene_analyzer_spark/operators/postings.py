@@ -1,95 +1,218 @@
 """Posting-list construction: delta-gap + VByte blocks with block-max skip
-metadata, built with an ORDER-PRESERVING salted shuffle.
+metadata (SURVEY.md §2-C "Posting-list build" / "Segment merge").
 
-SURVEY.md §2-C "Posting-list build" / "Segment merge".  The classic Zipf
-problem: one heavy term ("the", or ``i`` in code) can hold a multi-percent
-share of all postings; a plain groupBy(term) would hand one reducer the
-whole list.  Here the salt is ``rbucket = doc_id // bucket_span`` — a
-CONTIGUOUS doc range.  Each (term_id, rbucket) group builds blocks that are
-doc-sorted internally and, because buckets partition the doc-id space, the
-per-term block sequence ordered by (rbucket, block_no) is already the
-merged posting list.  The "segment merge" phase therefore costs zero
-shuffles: heavy terms are split across as many tasks as they have buckets,
-and no single reducer ever sees a full heavy-term posting list.
+Two build paths, one storage schema:
 
-Posting schema (one row per 128-doc block — bounded row size, parallel
-scan, and the WAND reader prunes whole rows by (first_doc, last_doc,
-max_impact)):
+``index_corpus``  (the scale path, used by bench + entry):
+    ONE pass: the documents are already range-partitioned by doc_id
+    (with_doc_ids), so each partition is a disjoint contiguous doc range —
+    the Lucene *segment* model.  mapInPandas fuses analyzer + posting
+    builder: per partition it accumulates term -> (docs, tfs, dls) and
+    emits finished block rows.  NO raw (doc,term,tf) row ever crosses the
+    wire; the only shuffle in the whole index build is the one that
+    assigned doc ids.  "Segment merge" costs zero: blocks are doc-sorted
+    within a partition and partitions are doc-disjoint, so the per-term
+    global posting list is just the rows ordered by (rbucket, block_no).
+    Zipf skew: a heavy term's postings are split across ALL partitions —
+    no reducer ever holds a full heavy-term list.
 
-    term_id long, rbucket long, block_no int, n int,
-    first_doc long, last_doc long, max_tf int, max_impact double,
+``build_postings``  (the composable path over an existing
+    (doc_id, term, tf, dl) DataFrame): order-preserving salted shuffle on
+    (term, rbucket = doc_id // bucket_span), then applyInPandas per group.
+    Same output schema; used when term frequencies come from elsewhere.
+
+Term statistics FALL OUT of the block metadata (df = Σ n, cf = Σ sum_tf,
+Σdl = Σ cf over all terms) — no separate corpus-wide aggregation pass.
+
+Block-max metadata stores (max_tf, min_dl) rather than a precomputed
+impact: BM25 impact is monotone increasing in tf and decreasing in dl, so
+idf·(k1+1)·max_tf/(max_tf + k1(1−b+b·min_dl/avgdl)) is a valid upper
+bound computable at query time with the final avgdl — this is what lets
+the build stay single-pass (avgdl is unknown while blocks are written).
+
+Schema (one row per ≤128-doc block — bounded row size, parallel scan,
+WAND prunes whole rows by (first_doc, last_doc, max_tf, min_dl)):
+
+    term string, rbucket long, block_no int, n int,
+    first_doc long, last_doc long, max_tf int, min_dl int, sum_tf long,
     doc_blob binary (delta+VByte), tf_blob binary, dl_blob binary
 """
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.codec import delta_encode, vbyte_encode
-from .fulltext import B, K1
 
 BLOCK_SIZE = 128
 
 POSTINGS_SCHEMA = (
-    "term_id long, rbucket long, block_no int, n int, first_doc long, "
-    "last_doc long, max_tf int, max_impact double, doc_blob binary, "
-    "tf_blob binary, dl_blob binary"
+    "term string, rbucket long, block_no int, n int, first_doc long, "
+    "last_doc long, max_tf int, min_dl int, sum_tf long, "
+    "doc_blob binary, tf_blob binary, dl_blob binary"
 )
 
-
-def _build_blocks(pdf: pd.DataFrame, avgdl: float,
-                  k1: float = K1, b: float = B) -> pd.DataFrame:
-    """One (term_id, rbucket) group -> block rows. Vectorized NumPy."""
-    term_id = int(pdf["term_id"].iloc[0])
-    rbucket = int(pdf["rbucket"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    docs = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-    dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
-    impacts = tfs.astype(np.float64) / (
-        tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-    rows = []
-    for blk, s in enumerate(range(0, docs.size, BLOCK_SIZE)):
-        e = min(s + BLOCK_SIZE, docs.size)
-        rows.append((
-            term_id, rbucket, blk, e - s, int(docs[s]), int(docs[e - 1]),
-            int(tfs[s:e].max()), float(impacts[s:e].max()),
-            vbyte_encode(delta_encode(docs[s:e])),
-            vbyte_encode(tfs[s:e]), vbyte_encode(dls[s:e]),
-        ))
-    return pd.DataFrame(rows, columns=[
-        "term_id", "rbucket", "block_no", "n", "first_doc", "last_doc",
-        "max_tf", "max_impact", "doc_blob", "tf_blob", "dl_blob"])
+_COLS = ["term", "rbucket", "block_no", "n", "first_doc", "last_doc",
+         "max_tf", "min_dl", "sum_tf", "doc_blob", "tf_blob", "dl_blob"]
 
 
-def build_postings(tdf: DataFrame, tdict: DataFrame, avgdl: float,
-                   bucket_span: int = 1 << 20) -> DataFrame:
-    """(doc_id, term, tf, dl) x term_dict -> posting block rows.
+def _block_rows(terms: list[str], term_offsets: np.ndarray,
+                docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                rbucket: int) -> pd.DataFrame:
+    """Vectorized block-row construction for a whole bucket/partition.
 
-    ``bucket_span`` bounds the postings any single task handles for one
-    term (tune so span * max_df_density fits executor memory; 2^20 docs
-    per bucket => a full-density term contributes ~1M postings ≈ 24 MB raw
-    per task).  The term_dict join is a plain equi-join on ``term`` —
-    broadcast when the dict is small, sort-merge at vocabulary scale
-    (Catalyst/AQE decides; both sides are already term-keyed).
+    ``terms``: per-term strings; ``term_offsets``: len(terms)+1 start
+    offsets into the concatenated ``docs``/``tfs``/``dls`` arrays, each
+    term's slice doc-ascending.  ONE VByte pass encodes everything; block
+    stats come from np.*.reduceat — no per-term small-array overhead.
     """
-    with_ids = tdf.join(tdict.select("term", "term_id"), "term")
-    salted = with_ids.withColumn(
-        "rbucket", (F.col("doc_id") / F.lit(bucket_span)).cast("long"))
-    return (salted
-            .repartition("term_id", "rbucket")
-            .groupBy("term_id", "rbucket")
-            .applyInPandas(
-                lambda pdf: _build_blocks(pdf, avgdl=avgdl),
-                schema=POSTINGS_SCHEMA))
+    from ..functions.codec import vbyte_encode_slices
+
+    n = docs.size
+    if n == 0:
+        return pd.DataFrame(columns=_COLS)
+    counts = np.diff(term_offsets)
+    nblocks = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    # block start indices (global) + per-block term index / block_no
+    term_idx = np.repeat(np.arange(len(terms)), nblocks)
+    block_no = np.concatenate([np.arange(b) for b in nblocks]) \
+        if len(terms) else np.empty(0, dtype=np.int64)
+    bstarts = term_offsets[term_idx] + block_no * BLOCK_SIZE
+    bends = np.minimum(bstarts + BLOCK_SIZE, term_offsets[term_idx + 1])
+    # delta-gap with reset at block starts (first doc absolute per block)
+    gaps = docs.astype(np.uint64).copy()
+    gaps[1:] -= docs[:-1].astype(np.uint64)
+    gaps[bstarts] = docs[bstarts]
+    doc_blobs = vbyte_encode_slices(gaps, bstarts)
+    tf_blobs = vbyte_encode_slices(tfs, bstarts)
+    dl_blobs = vbyte_encode_slices(dls, bstarts)
+    max_tf = np.maximum.reduceat(tfs, bstarts)
+    min_dl = np.minimum.reduceat(dls, bstarts)
+    sum_tf = np.add.reduceat(tfs, bstarts)
+    return pd.DataFrame({
+        "term": np.asarray(terms, dtype=object)[term_idx],
+        "rbucket": np.full(bstarts.size, rbucket, dtype=np.int64),
+        "block_no": block_no.astype(np.int32),
+        "n": (bends - bstarts).astype(np.int32),
+        "first_doc": docs[bstarts].astype(np.int64),
+        "last_doc": docs[bends - 1].astype(np.int64),
+        "max_tf": max_tf.astype(np.int32),
+        "min_dl": min_dl.astype(np.int32),
+        "sum_tf": sum_tf.astype(np.int64),
+        "doc_blob": doc_blobs,
+        "tf_blob": tf_blobs,
+        "dl_blob": dl_blobs,
+    })
+
+
+def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "content") -> DataFrame:
+    """Fused analyze + posting-block build, one pass, zero extra shuffle.
+
+    ``docs_with_ids`` must be partitioned into disjoint doc_id ranges
+    (with_doc_ids output is).  Partition memory is bounded by the input
+    split size (spark.sql.files.maxPartitionBytes), NOT by term df — the
+    heavy-term problem is structurally absent.
+    """
+    from ..analysis.chain import analyze_terms
+
+    def build(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc: dict[str, tuple[list, list, list]] = {}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            for did, text in zip(ids, pdf[text_col]):
+                toks = analyze_terms(text or "")
+                dl = len(toks)
+                for t, tf in Counter(toks).items():
+                    e = acc.get(t)
+                    if e is None:
+                        e = acc[t] = ([], [], [])
+                    e[0].append(did)
+                    e[1].append(tf)
+                    e[2].append(dl)
+        terms = sorted(acc)
+        sizes = np.array([len(acc[t][0]) for t in terms], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)))
+        total = int(offsets[-1])
+        docs_a = np.empty(total, dtype=np.uint64)
+        tfs_a = np.empty(total, dtype=np.uint64)
+        dls_a = np.empty(total, dtype=np.uint64)
+        for i, term in enumerate(terms):
+            s, e = offsets[i], offsets[i + 1]
+            d, t, l = acc[term]
+            docs_a[s:e] = d
+            tfs_a[s:e] = t
+            dls_a[s:e] = l
+            if e - s > 1 and not (docs_a[s + 1:e] >= docs_a[s:e - 1]).all():
+                order = np.argsort(docs_a[s:e], kind="stable")
+                docs_a[s:e] = docs_a[s:e][order]
+                tfs_a[s:e] = tfs_a[s:e][order]
+                dls_a[s:e] = dls_a[s:e][order]
+        yield _block_rows(terms, offsets, docs_a, tfs_a, dls_a, pid)
+
+    return docs_with_ids.select(id_col, text_col).mapInPandas(
+        build, schema=POSTINGS_SCHEMA)
+
+
+def build_postings(tdf: DataFrame, bucket_span: int = 1 << 20) -> DataFrame:
+    """(doc_id, term, tf, dl) rows -> posting blocks via an
+    ORDER-PRESERVING salted shuffle.
+
+    The salt ``rbucket = doc_id // bucket_span`` is a contiguous doc
+    range: per-term block sequences ordered by (rbucket, block_no) are
+    already globally doc-sorted, so the merge phase is free, and a heavy
+    term is split across as many tasks as it spans buckets.
+    """
+    salted = tdf.select(
+        "term",
+        (F.col("doc_id") / F.lit(bucket_span)).cast("long").alias("rbucket"),
+        "doc_id", "tf", "dl")
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        rbucket = int(pdf["rbucket"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        docs_a = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        tfs_a = pdf["tf"].to_numpy()[order].astype(np.uint64)
+        dls_a = pdf["dl"].to_numpy()[order].astype(np.uint64)
+        offsets = np.array([0, docs_a.size], dtype=np.int64)
+        return _block_rows([term], offsets, docs_a, tfs_a, dls_a, rbucket)
+
+    return (salted.repartition("term", "rbucket")
+            .groupBy("term", "rbucket")
+            .applyInPandas(build_group, schema=POSTINGS_SCHEMA))
+
+
+def term_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """(term, df, cf) derived from block metadata — no corpus re-scan."""
+    return postings.groupBy("term").agg(
+        F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+
+
+def term_dict_from_postings(postings: DataFrame) -> DataFrame:
+    """Sorted term dictionary with dense ids (the FST role, SURVEY §1.4)."""
+    w = Window.orderBy("term")
+    return term_stats_from_postings(postings).withColumn(
+        "term_id", F.row_number().over(w).cast("long"))
+
+
+def corpus_stats_from_postings(postings: DataFrame, n_docs: int) -> float:
+    """avgdl from block metadata: Σ sum_tf == Σ dl over docs."""
+    total = postings.agg(F.sum("sum_tf")).collect()[0][0] or 0
+    return float(total) / n_docs if n_docs else 0.0
 
 
 def write_postings(postings: DataFrame, path: str) -> None:
-    """Persist sorted by (term_id, rbucket, block_no) so parquet row-group
-    min/max stats prune term lookups (the sorted-FST role, SURVEY §1.4)."""
-    (postings.repartitionByRange("term_id")
-     .sortWithinPartitions("term_id", "rbucket", "block_no")
+    """Persist range-partitioned + sorted by term so parquet row-group
+    min/max statistics prune term lookups (the sorted-FST role)."""
+    (postings.repartitionByRange("term")
+     .sortWithinPartitions("term", "rbucket", "block_no")
      .write.mode("overwrite").parquet(path))

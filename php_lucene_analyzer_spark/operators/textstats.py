@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, rolling-hash fingerprinting.
+
+The oracle-matched SQL forms live in queries.py (text_quality,
+fingerprint); these are the richer engine-side variants (full analyzer
+chain, n-gram language model, Rabin-Karp shingles) — Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..analysis.filters import ENGLISH_STOP_WORDS
+
+# tiny trigram profiles (hand-picked high-frequency trigrams; public
+# linguistic knowledge) — heuristic language ID without external models
+_PROFILES = {
+    "en": ("the", "and", "ing", "ion", "ent", "for", "tio", "ate"),
+    "es": ("que", "ión", "los", "ent", "ado", "con", "par", "cia"),
+    "fr": ("les", "ion", "ent", "que", "des", "eur", "ait", "our"),
+    "de": ("der", "ein", "ich", "sch", "und", "die", "che", "gen"),
+}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess, lang_score) — trigram-profile heuristic with a
+    CJK/Cyrillic script fast path."""
+    def gen(batches):
+        for pdf in batches:
+            langs, scores = [], []
+            for text in pdf[text_col]:
+                t = (text or "").lower()
+                if not t:
+                    langs.append("und")
+                    scores.append(0.0)
+                    continue
+                cjk = sum(1 for c in t if 0x4E00 <= ord(c) <= 0x9FFF)
+                cyr = sum(1 for c in t if 0x0400 <= ord(c) <= 0x04FF)
+                if cjk > len(t) * 0.2:
+                    langs.append("zh")
+                    scores.append(round(cjk / len(t), 4))
+                    continue
+                if cyr > len(t) * 0.2:
+                    langs.append("ru")
+                    scores.append(round(cyr / len(t), 4))
+                    continue
+                tri = [t[i:i + 3] for i in range(len(t) - 2)]
+                best, bs = "und", 0.0
+                n = max(len(tri), 1)
+                for lang, prof in _PROFILES.items():
+                    s = sum(tri.count(p) for p in prof) / n
+                    if s > bs:
+                        best, bs = lang, s
+                langs.append(best if bs > 0 else "und")
+                scores.append(round(bs, 4))
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
+                                "lang_guess": langs, "lang_score": scores})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, lang_guess string, lang_score double")
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition heuristics -> one
+    quality double in [0,1] plus its components.  Pure JVM expressions."""
+    toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    toks = F.array_remove(toks, "")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    punct_ratio = (F.length(F.regexp_replace(F.col(text_col),
+                                             r"[\w\s]", ""))
+                   / F.greatest(F.length(text_col), F.lit(1)))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round((n_stop / F.greatest(n_tok, F.lit(1))), 4).alias("stop_hint"),
+        F.round(len_ok * (0.5 * uniq_ratio + 0.5 * (1.0 - punct_ratio)), 4)
+         .alias("quality"))
+
+
+def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", window: int = 32,
+                         keep_mod: int = 16) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprints (winnowing-style
+    0-mod-p selection): (doc_id, fp) rows — the containment/plagiarism
+    primitive; two docs sharing many fps share long char runs."""
+    base = np.uint64(1000003)
+    bw = base ** np.uint64(window - 1)
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = (text or "").encode("utf-8", "ignore")
+                if len(b) < window:
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                h = np.uint64(0)
+                hs = np.empty(len(b) - window + 1, dtype=np.uint64)
+                for i in range(window):
+                    h = h * base + arr[i]
+                hs[0] = h
+                for i in range(1, hs.size):
+                    h = (h - arr[i - 1] * bw) * base + arr[i + window - 1]
+                    hs[i] = h
+                sel = np.unique(hs[hs % np.uint64(keep_mod) == 0])
+                ids_out.extend([int(did)] * sel.size)
+                fps_out.extend(sel.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": ids_out, "fp": fps_out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, fp long")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword count estimate, JVM-side: tokens plus
+    an extra count per 4 chars of long tokens (the BPE length heuristic)."""
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    ws = F.size(toks)
+    chars = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("long").alias("ws_tokens"),
+        F.ceil(chars / 4.0).cast("long").alias("bpe_est"),
+        F.greatest(ws, F.ceil(chars / 4.0)).cast("long").alias("token_budget"))

@@ -1,27 +1,33 @@
 """Block-max WAND top-k over the posting blocks (SURVEY.md §2-C).
 
-Distribution model: posting blocks are already salted into contiguous
-doc-ranges (``rbucket``, operators/postings.py), so query evaluation
-groups the matched terms' blocks by rbucket — every bucket holds all query
-terms' postings for one doc-id range — runs document-at-a-time WAND with
+Distribution model: posting blocks live in contiguous doc-range buckets
+(``rbucket``, operators/postings.py), so query evaluation groups the
+matched terms' blocks by rbucket — every bucket holds all query terms'
+postings for one doc-id range — runs document-at-a-time WAND with
 block-max skipping inside the bucket (applyInPandas), and the per-bucket
 top-k candidates meet in a global TakeOrderedAndProject
 (orderBy(score desc, doc_id asc).limit(k)).  Each bucket's work is bounded
-by bucket_span regardless of term df, so heavy terms cannot create a
-straggler task.
+by the build partition size regardless of term df, so heavy terms cannot
+create a straggler task.
 
-Float contract: per-doc scores sum contributions in term_id (== term
-lexicographic) order, mirroring the exhaustive scorer's sort_array +
-aggregate — bit-identical results at any parallelism.
+Block upper bounds use the stored (max_tf, min_dl): BM25 impact is
+monotone ↑ in tf and ↓ in dl, so idf·(k1+1)·max_tf/(max_tf +
+k1(1−b+b·min_dl/avgdl)) bounds every doc in the block (see postings.py on
+why the build stores these instead of a precomputed impact).
+
+Float contract: per-doc scores sum contributions in term-lexicographic
+order, mirroring the exhaustive scorer's sort_array + aggregate —
+bit-identical results at any parallelism.
 
 Catalyst cannot express document-at-a-time pruning (SURVEY §4), hence the
-pandas kernel; everything around it (pruned scan on term_id, grouping,
+pandas kernel; everything around it (pruned scan on term, grouping,
 global top-k) is declarative.
 """
 
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -30,15 +36,17 @@ from pyspark.sql import DataFrame
 
 from ..analysis import analyze
 from ..functions.codec import delta_decode, vbyte_decode
-from .fulltext import B, K1
+from .fulltext import B, K1, idf as bm25_idf
+
+_EXHAUSTED = 1 << 62
 
 
 class _TermCursor:
     """Doc-ordered cursor over one term's block rows (decode-on-demand)."""
 
-    __slots__ = ("idf", "ub", "first", "last", "maximp", "blobs", "tf_blobs",
-                 "dl_blobs", "bi", "wi", "docs", "tfs", "dls", "cur",
-                 "k1", "b", "avgdl")
+    __slots__ = ("idf", "ub", "first", "last", "max_tf", "min_dl", "blobs",
+                 "tf_blobs", "dl_blobs", "bi", "wi", "docs", "tfs", "dls",
+                 "cur", "k1", "b", "avgdl", "_bb")
 
     def __init__(self, idf: float, rows: pd.DataFrame, avgdl: float,
                  k1: float, b: float):
@@ -46,12 +54,16 @@ class _TermCursor:
         self.idf = idf
         self.first = rows["first_doc"].to_numpy()
         self.last = rows["last_doc"].to_numpy()
-        self.maximp = rows["max_impact"].to_numpy()
+        self.max_tf = rows["max_tf"].to_numpy().astype(np.float64)
+        self.min_dl = rows["min_dl"].to_numpy().astype(np.float64)
         self.blobs = rows["doc_blob"].tolist()
         self.tf_blobs = rows["tf_blob"].tolist()
         self.dl_blobs = rows["dl_blob"].tolist()
-        self.ub = idf * (k1 + 1.0) * float(self.maximp.max()) if len(rows) else 0.0
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        # per-block upper bounds: idf·(k1+1)·impact(max_tf, min_dl)
+        self._bb = (idf * (k1 + 1.0) * self.max_tf
+                    / (self.max_tf + k1 * (1.0 - b + b * self.min_dl / avgdl)))
+        self.ub = float(self._bb.max()) if len(rows) else 0.0
         self.bi = -1
         self.docs = self.tfs = self.dls = None
         self.wi = 0
@@ -70,16 +82,16 @@ class _TermCursor:
         if self.bi + 1 < len(self.blobs):
             self._load(self.bi + 1)
         else:
-            self.cur = 1 << 62  # exhausted sentinel
+            self.cur = _EXHAUSTED
 
     def block_max_score(self) -> float:
         """Upper bound of the CURRENT block (block-max refinement)."""
-        if self.bi < len(self.maximp):
-            return self.idf * (self.k1 + 1.0) * float(self.maximp[self.bi])
+        if self.bi < len(self._bb):
+            return float(self._bb[self.bi])
         return 0.0
 
     def block_last(self) -> int:
-        return int(self.last[self.bi]) if self.bi < len(self.last) else 1 << 62
+        return int(self.last[self.bi]) if self.bi < len(self.last) else _EXHAUSTED
 
     def advance_to(self, target: int) -> None:
         """Skip to the first doc >= target, hopping whole blocks via
@@ -89,7 +101,7 @@ class _TermCursor:
         if self.bi < len(self.last) and int(self.last[self.bi]) < target:
             nb = int(np.searchsorted(self.last, target, side="left"))
             if nb >= len(self.blobs):
-                self.cur = 1 << 62
+                self.cur = _EXHAUSTED
                 return
             self._load(nb)
         self.wi = int(np.searchsorted(self.docs, target, side="left"))
@@ -114,19 +126,18 @@ class _TermCursor:
             self.cur = int(self.docs[self.wi])
 
 
-def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[int, float]],
+def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[str, float]],
                  k: int, avgdl: float, k1: float, b: float) -> pd.DataFrame:
-    """WAND over one rbucket. term_meta = [(term_id, idf)] in term order."""
+    """WAND over one rbucket. term_meta = [(term, idf)] in term order."""
     cursors: list[_TermCursor] = []
-    for term_id, idf in term_meta:
-        rows = pdf[pdf["term_id"] == term_id]
+    for term, idf in term_meta:
+        rows = pdf[pdf["term"] == term]
         if len(rows):
             cursors.append(_TermCursor(idf, rows, avgdl, k1, b))
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     theta = float("-inf")
-    big = 1 << 62
     while True:
-        live = [c for c in cursors if c.cur < big]
+        live = [c for c in cursors if c.cur < _EXHAUSTED]
         if not live:
             break
         live.sort(key=lambda c: c.cur)
@@ -146,21 +157,21 @@ def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[int, float]],
             bm = sum(c.block_max_score() for c in live
                      if c.cur <= pivot_doc <= c.block_last())
             if len(heap) >= k and bm <= theta:
-                # Skip the doc range where the involved blocks stay current:
-                # capped at the shortest involved block's end AND at the
-                # first not-yet-involved cursor position, so every skipped
+                # Skip the doc range where the involved blocks stay
+                # current: capped at the shortest involved block's end AND
+                # at the first not-yet-involved cursor, so every skipped
                 # doc's true score is bounded by bm.
                 boundary = min(c.block_last() for c in live
                                if c.cur <= pivot_doc <= c.block_last()) + 1
                 nxt = min((c.cur for c in live if c.cur > pivot_doc),
-                          default=1 << 62)
+                          default=_EXHAUSTED)
                 boundary = min(boundary, nxt)
                 for c in live:
                     if c.cur < boundary:
                         c.advance_to(boundary)
                 continue
-            # full evaluation, contributions in term order (cursors were
-            # built in term_id order; 'live' is re-sorted, so gather first)
+            # full evaluation; cursors list is in term order -> the float
+            # sum order is the exhaustive scorer's sort_array order
             score = 0.0
             for c in cursors:
                 if c.cur == pivot_doc:
@@ -184,26 +195,26 @@ def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[int, float]],
     return pd.DataFrame(rows, columns=["doc_id", "score"])
 
 
-def wand_topk(postings: DataFrame, tdict: DataFrame, n_docs: int,
+def wand_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
               avgdl: float, query: str, k: int = 10,
               k1: float = K1, b: float = B) -> DataFrame:
-    """Block-max WAND top-k for one query string -> (doc_id, score)."""
-    import math
+    """Block-max WAND top-k for one query string -> (doc_id, score).
 
+    ``tstats`` is (term, df, ...) — from term_stats_from_postings or the
+    DataFrame path; only the query's rows are collected (driver-side idf,
+    see fulltext.idf on why).
+    """
     spark = postings.sparkSession
     terms = sorted({t.term for t in analyze(query)})
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta_rows = (tdict.filter(F.col("term").isin(terms))
-                 .select("term", "term_id", "df").orderBy("term").collect())
+    meta_rows = (tstats.filter(F.col("term").isin(terms))
+                 .select("term", "df").orderBy("term").collect())
     if not meta_rows:
         return spark.createDataFrame([], "doc_id long, score double")
-    term_meta = [
-        (int(r["term_id"]),
-         math.log(1.0 + (float(n_docs) - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for r in meta_rows]
-    ids = [tid for tid, _ in term_meta]
-    matched = postings.filter(F.col("term_id").isin(ids))  # pushed to scan
+    term_meta = [(r["term"], bm25_idf(n_docs, r["df"])) for r in meta_rows]
+    qterms = [t for t, _ in term_meta]
+    matched = postings.filter(F.col("term").isin(qterms))  # pushed to scan
     local = matched.groupBy("rbucket").applyInPandas(
         lambda pdf: _wand_bucket(pdf, term_meta, k, avgdl, k1, b),
         schema="doc_id long, score double")

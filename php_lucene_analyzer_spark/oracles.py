@@ -180,6 +180,40 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY revenue DESC, n_name LIMIT 10
 """
 
+ORACLES["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(len(list_distinct(toks)) / greatest(len(toks), 1), 4)
+         AS uniq_ratio,
+       round(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(list_intersect(toks, {list(sorted(ENGLISH_STOP_WORDS))!r}))
+             / greatest(len(toks), 1), 4) AS stop_hint,
+       round((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0
+              ELSE 0.3 END)
+             * (0.5 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+                + 0.5 * (1.0 - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                         / greatest(length(text), 1))), 4) AS quality
+FROM t
+"""
+
+ORACLES["token_count"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents)
+SELECT doc_id, len(ws)::BIGINT AS ws_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS bpe_est,
+       greatest(len(ws), ceil(length(text) / 4.0)::BIGINT)::BIGINT
+         AS token_budget
+FROM t
+"""
+
 ORACLES["sessionize"] = """
 WITH g AS (
   SELECT user_id, value,

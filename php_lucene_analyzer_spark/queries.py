@@ -274,6 +274,33 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (operators/textstats.py), JVM exprs."""
+    from .operators.textstats import quality_score
+    return quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-estimate token budgets (operators/textstats.py)."""
+    from .operators.textstats import token_count
+    return token_count(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only check: bit-level md5 folding
+    is not reasonably SQL-expressible; verified in tests/test_dedup_ann.py)."""
+    from .operators.dedup import simhash64
+    return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-only check; the banded
+    join is verified against known duplicates in tests/test_dedup_ann.py)."""
+    from .operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                             n_hashes=32, bands=8, min_jaccard=0.8)
+
+
 QUERIES = {
     "tf": q_tf,
     "doc_stats": q_doc_stats,
@@ -289,4 +316,8 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "simhash": q_simhash,
+    "lsh_pairs": q_lsh_pairs,
 }

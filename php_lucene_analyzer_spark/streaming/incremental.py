@@ -1,0 +1,69 @@
+"""Incremental (streaming) index maintenance via Structured Streaming.
+
+The batch engine treats the index as segments (doc-range buckets); a
+stream of new documents extends it naturally: each micro-batch becomes a
+new segment with doc ids above every existing id — exactly Lucene's
+segment-append model, expressed as readStream -> foreachBatch(index).
+
+Doc-id scheme: ``(epoch_id << EPOCH_SHIFT) | row_number_in_batch`` —
+monotone across batches (exactly-once via the streaming checkpoint: a
+replayed batch reuses its epoch and overwrites the same segment dir, so
+the commit is idempotent), disjoint from batch builds that stay below
+2**EPOCH_SHIFT docs... per epoch.  ``rbucket`` is epoch-scoped for the
+same reason.
+
+The WAND/query side is oblivious: it reads the union of segment
+directories (or one table at Iceberg).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.postings import index_corpus
+
+EPOCH_SHIFT = 40
+
+
+def _index_batch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    if batch_df.isEmpty():
+        return
+    # micro-batches are small; a single-partition window is fine here
+    # (batch builds use the two-phase range scheme in with_doc_ids)
+    w = F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("repo", "path"))
+    ids = (batch_df
+           .withColumn("doc_id",
+                       (F.lit(int(epoch_id) << EPOCH_SHIFT)
+                        + w - 1).cast("long")))
+    seg = os.path.join(out_dir, f"epoch={int(epoch_id)}")
+    index_corpus(ids, "doc_id", "content") \
+        .withColumn("rbucket", F.lit(int(epoch_id)).cast("long")) \
+        .write.mode("overwrite").parquet(seg)
+
+
+def stream_index(spark: SparkSession, input_dir: str, out_dir: str,
+                 checkpoint_dir: str, schema: str =
+                 "repo string, path string, commit string, lang string, "
+                 "content string") -> StreamingQuery:
+    """Start an availableNow streaming index over a parquet drop directory.
+
+    Exactly-once per micro-batch: the epoch-keyed segment dir is
+    overwritten on replay; the streaming checkpoint tracks consumed files.
+    """
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_dir))
+    return (stream.writeStream
+            .foreachBatch(lambda df, eid: _index_batch(df, eid, out_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_streamed_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", out_dir) \
+        .parquet(os.path.join(out_dir, "epoch=*"))

@@ -1,0 +1,138 @@
+"""Dedup (exact / MinHash-LSH / SimHash), ANN, multimodal plumbing, and
+text-analysis operator tests."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from php_lucene_analyzer_spark.operators import ann, dedup, multimodal, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddocs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # add exact + near duplicates with known ids
+    src = base.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    exact = src.filter(F.col("doc_id") < 10) \
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = src.filter(F.col("doc_id") < 10) \
+        .select((F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"))
+    return src.unionAll(exact).unionAll(near).cache()
+
+
+def test_exact_dedup(spark, ddocs):
+    res = dedup.exact_dedup(ddocs, "doc_id", "text")
+    m = {r["doc_id"]: r["keeper"] for r in res.collect()}
+    for i in range(10):
+        assert m[i + 10000] == i  # exact copy resolves to the original
+        assert m[i] == i
+    assert m[20001] == 20001  # near-dup is NOT an exact dup
+
+
+def test_minhash_lsh_finds_near_dups(spark, ddocs):
+    pairs = dedup.minhash_lsh_pairs(ddocs, "doc_id", "text",
+                                    n_hashes=64, bands=16,
+                                    min_jaccard=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact copies collide with estimated jaccard 1.0
+    for i in range(10):
+        assert (i, i + 10000) in found
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    for i in range(10):
+        assert est[(i, i + 10000)] == 1.0
+    # near duplicates (one appended token) are found with high est_jaccard
+    near_found = sum(1 for i in range(10) if (i, i + 20000) in found)
+    assert near_found >= 8
+
+
+def test_simhash_near_dups(spark, ddocs):
+    sh = dedup.simhash64(ddocs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in sh}
+    for i in range(10):
+        assert by_id[i] == by_id[i + 10000]  # identical text -> same hash
+    pairs = dedup.simhash_near_dups(ddocs, "doc_id", "text",
+                                    max_hamming=3).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    for i in range(10):
+        assert found[(i, i + 10000)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_bruteforce(spark, emb):
+    import numpy as np
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ann.cosine_topk(emb, queries, k=5).collect()
+    for qid in range(3):
+        qv = m[ids == qid][0]
+        sims = m @ qv
+        sims[ids == qid] = -np.inf
+        order = np.lexsort((ids, -sims))[:5]
+        want = [int(ids[j]) for j in order]
+        mine = [r["vec_id"] for r in got if r["qid"] == qid]
+        assert mine == want
+
+
+def test_lsh_ann_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann.cosine_topk(emb, queries, k=5).collect()
+    approx = ann.lsh_cosine_topk(emb, queries, k=5, bits=4,
+                                 probe_flips=2).collect()
+    ex = {(r["qid"], r["vec_id"]) for r in exact}
+    ap = {(r["qid"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    # these embeddings are near-random (neighbors only mildly closer than
+    # noise), the hardest case for sign sketches; 4 bits + 2-bit probes
+    # scans ~11/16 buckets -> recall must clear 0.5
+    assert recall >= 0.5, recall
+    # and the candidates it does return are correctly ranked (exact rerank)
+    ap_by_q = {}
+    for r in approx:
+        ap_by_q.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+    for q, rows in ap_by_q.items():
+        ranks = [x[0] for x in sorted(rows)]
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 60, partitions=3)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    # strict mode surfaces the stub boundary
+    import php_lucene_analyzer_spark.operators.multimodal as mm
+    if not mm._real_decoder_available():
+        with pytest.raises(NotImplementedError):
+            mm.extract_features(media, strict=True)
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    assert plan.count() > 0
+
+
+def test_textstats(spark, ddocs):
+    lid = textstats.language_id(ddocs, "doc_id", "text").collect()
+    assert all(r["lang_guess"] for r in lid)
+    qs = textstats.quality_score(ddocs, "doc_id", "text").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in qs)
+    tc = textstats.token_count(ddocs, "doc_id", "text").collect()
+    assert all(r["token_budget"] >= r["ws_tokens"] for r in tc)
+    fps = textstats.rolling_fingerprints(ddocs, "doc_id", "text")
+    # identical docs share all fingerprints
+    a = {r["fp"] for r in fps.filter(F.col("doc_id") == 5).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc_id") == 10005).collect()}
+    assert a == b and len(a) > 0

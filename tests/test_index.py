@@ -1,6 +1,6 @@
 """Index correctness (SURVEY.md §5.4-5.5): brute-force pandas BM25 oracle ==
-DataFrame engine == block-max WAND, including exact float equality and
-rank identity at different parallelism levels."""
+DataFrame engine == block-max WAND (both build paths), including exact
+float equality and rank identity at different parallelism levels."""
 
 import math
 from collections import Counter
@@ -12,7 +12,9 @@ import pyspark.sql.functions as F
 
 from php_lucene_analyzer_spark.analysis import analyze
 from php_lucene_analyzer_spark.operators import fulltext as ft
-from php_lucene_analyzer_spark.operators.postings import build_postings
+from php_lucene_analyzer_spark.operators.postings import (
+    build_postings, corpus_stats_from_postings, index_corpus,
+    term_stats_from_postings)
 from php_lucene_analyzer_spark.operators.wand import wand_topk
 
 QUERIES = [
@@ -29,11 +31,23 @@ def index(spark, docs):
     tdf = ft.term_doc_freqs(docs, "doc_id", "text").cache()
     n, avgdl = ft.corpus_stats(tdf)
     tstats = ft.term_stats(tdf).cache()
-    tdict = ft.term_dict(tstats).cache()
     # small bucket span so multiple rbuckets exist at 500 docs
-    postings = build_postings(tdf, tdict, avgdl, bucket_span=100).cache()
-    return dict(tdf=tdf, n=n, avgdl=avgdl, tstats=tstats, tdict=tdict,
-                postings=postings)
+    postings = build_postings(tdf, bucket_span=100).cache()
+    return dict(tdf=tdf, n=n, avgdl=avgdl, tstats=tstats, postings=postings)
+
+
+@pytest.fixture(scope="module")
+def fused_index(spark, docs):
+    """The single-pass path: range-partitioned docs -> index_corpus."""
+    with_ids = ft.with_doc_ids(
+        docs.select(F.col("doc_id").alias("orig_id"), "text"),
+        ["orig_id"], partitions=5)
+    # orig doc_id is already dense 0..N-1 sorted -> ids coincide
+    postings = index_corpus(with_ids, "doc_id", "text").cache()
+    n = postings.agg(F.max("last_doc")).collect()[0][0] + 1
+    avgdl = corpus_stats_from_postings(postings, n)
+    tstats = term_stats_from_postings(postings).cache()
+    return dict(n=n, avgdl=avgdl, tstats=tstats, postings=postings)
 
 
 def _pandas_bm25_oracle(docs_pdf: pd.DataFrame, query: str, k: int = 10):
@@ -76,20 +90,40 @@ def test_exhaustive_bm25_matches_pandas_oracle(spark, docs, index, query):
 def test_wand_matches_exhaustive_bit_identical(spark, index, query):
     exh = ft.bm25_topk(index["tdf"], index["tstats"], index["n"],
                        index["avgdl"], query).collect()
-    wnd = wand_topk(index["postings"], index["tdict"], index["n"],
+    wnd = wand_topk(index["postings"], index["tstats"], index["n"],
                     index["avgdl"], query).collect()
     assert [(r["doc_id"], r["score"]) for r in wnd] \
         == [(r["doc_id"], r["score"]) for r in exh]
 
 
+@pytest.mark.parametrize("query", QUERIES)
+def test_fused_build_wand_matches_exhaustive(spark, index, fused_index, query):
+    """index_corpus (map-side segments) == build_postings == exhaustive."""
+    assert fused_index["n"] == index["n"]
+    assert fused_index["avgdl"] == index["avgdl"]
+    exh = ft.bm25_topk(index["tdf"], index["tstats"], index["n"],
+                       index["avgdl"], query).collect()
+    wnd = wand_topk(fused_index["postings"], fused_index["tstats"],
+                    fused_index["n"], fused_index["avgdl"], query).collect()
+    assert [(r["doc_id"], r["score"]) for r in wnd] \
+        == [(r["doc_id"], r["score"]) for r in exh]
+
+
+def test_term_stats_same_both_paths(index, fused_index):
+    a = {r["term"]: (r["df"], r["cf"])
+         for r in term_stats_from_postings(index["postings"]).collect()}
+    b = {r["term"]: (r["df"], r["cf"])
+         for r in fused_index["tstats"].collect()}
+    c = {r["term"]: (r["df"], r["cf"]) for r in index["tstats"].collect()}
+    assert a == b == c
+
+
 def test_doc_ids_deterministic_across_partitioning(spark, docs):
     a = ft.with_doc_ids(docs.repartition(7), ["doc_id"], partitions=3)
     b = ft.with_doc_ids(docs.repartition(2), ["doc_id"], partitions=5)
-    pa = {r["doc_id"]: r["doc_id"] for r in a.collect()}
     got_a = sorted((r["doc_id"],) for r in a.select("doc_id").collect())
     got_b = sorted((r["doc_id"],) for r in b.select("doc_id").collect())
     assert got_a == got_b
-    # dense 0..N-1
     n = docs.count()
     assert got_a == [(i,) for i in range(n)]
 
@@ -112,19 +146,16 @@ def test_rank_identity_across_parallelism(docs):
 
 def test_postings_roundtrip_covers_all_docs(spark, index):
     """Decoded postings == the (doc,term,tf) stream they were built from."""
-    import numpy as np
-
     from php_lucene_analyzer_spark.functions.codec import (
         delta_decode, vbyte_decode)
 
-    rows = index["postings"].filter(F.col("term_id") == 1).collect()
-    tdict_row = index["tdict"].filter(F.col("term_id") == 1).collect()[0]
+    term = index["tstats"].orderBy(F.desc("df")).first()["term"]
+    rows = index["postings"].filter(F.col("term") == term).collect()
     docs_decoded = []
     for r in sorted(rows, key=lambda r: (r["rbucket"], r["block_no"])):
         docs_decoded.extend(
             delta_decode(vbyte_decode(bytes(r["doc_blob"]))).tolist())
     expected = [r["doc_id"] for r in index["tdf"]
-                .filter(F.col("term") == tdict_row["term"])
-                .orderBy("doc_id").collect()]
+                .filter(F.col("term") == term).orderBy("doc_id").collect()]
     assert docs_decoded == expected
     assert docs_decoded == sorted(docs_decoded)

@@ -70,4 +70,5 @@ def test_every_query_has_oracle_or_is_flagged():
     assert not missing, f"oracles without queries: {missing}"
     rows_only = set(qs) - set(os_)
     # only the genuinely non-SQL-expressible ops may skip the oracle
-    assert rows_only <= {"wand_fullchain", "simhash", "streaming_index"}
+    assert rows_only <= {"wand_fullchain", "simhash", "lsh_pairs",
+                         "streaming_index"}

@@ -1,0 +1,97 @@
+"""Checkpoint/resume (SURVEY §5.8) + streaming incremental indexing."""
+
+import shutil
+import tempfile
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from php_lucene_analyzer_spark.corpus import synthetic_corpus
+from php_lucene_analyzer_spark.operators.lineage import ResumableIndexBuild
+from php_lucene_analyzer_spark.operators.postings import (
+    corpus_stats_from_postings, index_corpus, term_stats_from_postings)
+from php_lucene_analyzer_spark.operators.fulltext import with_doc_ids
+from php_lucene_analyzer_spark.operators.wand import wand_topk
+from php_lucene_analyzer_spark.streaming.incremental import (
+    read_streamed_postings, stream_index)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="ftspark_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _postings_as_set(df):
+    rows = df.select("term", "rbucket", "block_no", "n", "first_doc",
+                     "last_doc", "doc_blob").collect()
+    return {(r["term"], r["n"], r["first_doc"], r["last_doc"],
+             bytes(r["doc_blob"])) for r in rows}
+
+
+def test_kill_and_resume_produces_identical_index(spark, workdir):
+    docs = synthetic_corpus(spark, 400, partitions=4)
+    build = ResumableIndexBuild(spark, workdir + "/a", chunk_docs=100)
+    # crash after 2 of 4 chunks
+    with pytest.raises(RuntimeError, match="injected crash"):
+        build.run(docs, ["repo", "path"], fail_after_chunks=2)
+    assert len(build.completed_chunks()) == 2
+    # resume: only the remaining chunks run
+    resumed = build.run(docs, ["repo", "path"])
+    lineage = build.lineage().collect()
+    assert sorted(r["chunk"] for r in lineage) == [0, 1, 2, 3]
+    assert all(r["wall_sec"] > 0 for r in lineage)
+    # one-shot reference build
+    ref_build = ResumableIndexBuild(spark, workdir + "/b", chunk_docs=100)
+    ref = ref_build.run(docs, ["repo", "path"])
+    assert _postings_as_set(resumed) == _postings_as_set(ref)
+
+
+def test_resume_skips_completed_work(spark, workdir):
+    docs = synthetic_corpus(spark, 200, partitions=2)
+    build = ResumableIndexBuild(spark, workdir, chunk_docs=100)
+    build.run(docs, ["repo", "path"])
+    before = {(r["chunk"], r["finished_at"])
+              for r in build.lineage().collect()}
+    build.run(docs, ["repo", "path"])  # no pending chunks -> no new rows
+    after = {(r["chunk"], r["finished_at"])
+             for r in build.lineage().collect()}
+    assert before == after
+
+
+def test_streaming_incremental_index(spark, workdir):
+    docs = synthetic_corpus(spark, 300, partitions=3).cache()
+    in_dir = workdir + "/in"
+    out_dir = workdir + "/segments"
+    ckpt = workdir + "/ckpt"
+    # drop batch 1, stream it, then drop batch 2, stream again
+    docs.filter(F.col("lang") == "java").write.mode("overwrite") \
+        .parquet(in_dir + "/b1")
+    q = stream_index(spark, in_dir + "/*", out_dir, ckpt)
+    q.awaitTermination(120)
+    first = read_streamed_postings(spark, out_dir)
+    n1 = first.count()
+    assert n1 > 0
+    docs.filter(F.col("lang") == "py").write.mode("overwrite") \
+        .parquet(in_dir + "/b2")
+    q = stream_index(spark, in_dir + "/*", out_dir, ckpt)
+    q.awaitTermination(120)
+    postings = read_streamed_postings(spark, out_dir)
+    assert postings.count() > n1
+    # the streamed index answers queries
+    n_docs = docs.filter(F.col("lang").isin("java", "py")).count()
+    avgdl = corpus_stats_from_postings(postings, n_docs)
+    tstats = term_stats_from_postings(postings)
+    res = wand_topk(postings, tstats, n_docs, avgdl,
+                    "parseToken buildIndex merge", k=5).collect()
+    assert len(res) > 0
+    # epoch-scoped doc ids are disjoint: every epoch-1 doc id sits above
+    # every epoch-0 id (epoch << EPOCH_SHIFT prefix)
+    ranges = (postings.groupBy("rbucket")
+              .agg(F.min("first_doc").alias("lo"),
+                   F.max("last_doc").alias("hi"))
+              .orderBy("rbucket").collect())
+    for a, b in zip(ranges, ranges[1:]):
+        assert a["hi"] < b["lo"]
