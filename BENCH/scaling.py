@@ -66,8 +66,10 @@ def main() -> None:
         synthetic_corpus(spark, n_docs).write.mode("overwrite").parquet(cache_dir)
         spark.stop()
 
+    levels = tuple(int(x) for x in
+                   os.environ.get("CPU_LEVELS", "8,32").split(","))
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         times = [run_once(cpus, cache_dir) for _ in range(reps)]
         med = statistics.median(times)
         results[f"local[{cpus}]"] = {
@@ -77,12 +79,16 @@ def main() -> None:
         }
         print(f"local[{cpus}]: {times} -> median {med:.2f}s "
               f"({n_docs / med:.0f} docs/s)", flush=True)
-    t8 = results["local[8]"]["docs_per_sec"]
-    t32 = results["local[32]"]["docs_per_sec"]
+    lo, hi = levels[0], levels[-1]
+    tn = results[f"local[{lo}]"]["docs_per_sec"]
+    t4n = results[f"local[{hi}]"]["docs_per_sec"]
     results["n_docs"] = n_docs
-    results["scaling_efficiency_32_vs_4x8"] = round(t32 / (4 * t8), 3)
-    print("efficiency:", results["scaling_efficiency_32_vs_4x8"])
-    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+    results["levels"] = list(levels)
+    key = f"scaling_efficiency_{hi}_vs_{hi // lo}x{lo}"
+    results[key] = round(t4n / ((hi // lo) * tn), 3)
+    print("efficiency:", results[key])
+    out_name = os.environ.get("SCALING_OUT", "scaling_results.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(results, f, indent=2)
 
 

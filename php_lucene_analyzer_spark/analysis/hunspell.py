@@ -1,0 +1,335 @@
+"""Hunspell dictionary loader + affix-stripping stemmer (SURVEY §2 A12-A14).
+
+From-scratch reimplementation of the BEHAVIOR of the reference's
+Hunspell stack (/root/reference/src/analyses/hunspell/Dictionary.php:12-1371,
+Stemmer.php:9-699, HunspellStemFilter.php:14-90) in plain Python data
+structures — not a port of its byte-packed affix records / FST machinery
+(those exist to save memory in PHP; here dicts + broadcast do the job,
+and the stemmer runs per UNIQUE vocabulary term inside pandas UDFs, never
+per token).
+
+Supported .aff features (the set the reference parses): SET encoding,
+FLAG long|num|UTF-8 strategies (Dictionary.php:903-921), PFX/SFX with
+cross-product, strip, append, condition patterns, continuation classes on
+the append (`ive/XY`), AF flag aliases (:1204-1225), ICONV/OCONV greedy
+longest-match rewrites (:760-826, 1332-1370), IGNORE chars (:482-489),
+KEEPCASE / NEEDAFFIX / ONLYINCOMPOUND / FORBIDDENWORD gates
+(Stemmer.php:173-207).
+
+Stemming semantics (Stemmer.php): case-variant union (exact / title /
+lower, :89-151); dictionary hits filtered by gate flags; one prefix and
+up to two suffixes stripped recursively with cross-product and
+continuation-class checks (:296-685); conditions checked on
+strip+remainder (:542-583); results deduped preserving first-seen order
+(:216-232).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Affix:
+    flag: str
+    cross: bool
+    strip: str
+    append: str
+    cont_flags: frozenset[str]
+    cond: re.Pattern | None  # None == '.' (always true)
+
+
+@dataclass
+class Dictionary:
+    words: dict[str, list[frozenset[str]]] = field(default_factory=dict)
+    prefixes: dict[str, list[Affix]] = field(default_factory=dict)  # by append
+    suffixes: dict[str, list[Affix]] = field(default_factory=dict)  # by append
+    iconv: list[tuple[str, str]] = field(default_factory=list)
+    oconv: list[tuple[str, str]] = field(default_factory=list)
+    ignore: str = ""
+    keepcase: str | None = None
+    needaffix: str | None = None
+    onlyincompound: str | None = None
+    forbidden: str | None = None
+    ignore_case: bool = False
+
+    def lookup(self, word: str) -> list[frozenset[str]] | None:
+        return self.words.get(word)
+
+
+class _FlagParser:
+    """single-char (default) / `long` 2-char / `num` comma-int flags
+    (Dictionary.php:1377-1479)."""
+
+    def __init__(self, mode: str = "char"):
+        self.mode = mode
+
+    def parse(self, s: str) -> frozenset[str]:
+        s = s.strip()
+        if not s:
+            return frozenset()
+        if self.mode == "num":
+            return frozenset(x.strip() for x in s.split(",") if x.strip())
+        if self.mode == "long":
+            return frozenset(s[i:i + 2] for i in range(0, len(s) - 1, 2))
+        return frozenset(s)
+
+
+def _apply_conv(word: str, table: list[tuple[str, str]]) -> str:
+    """Greedy longest-match character conversion (applyMappings
+    Dictionary.php:1332-1370)."""
+    if not table:
+        return word
+    out = []
+    i = 0
+    while i < len(word):
+        best = None
+        for src, dst in table:
+            if word.startswith(src, i) and (
+                    best is None or len(src) > len(best[0])):
+                best = (src, dst)
+        if best:
+            out.append(best[1])
+            i += len(best[0])
+        else:
+            out.append(word[i])
+            i += 1
+    return "".join(out)
+
+
+def parse_affix_file(text: str) -> tuple[Dictionary, _FlagParser]:
+    d = Dictionary()
+    flags = _FlagParser()
+    aliases: list[frozenset[str]] = []
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        parts = lines[i].split("#")[0].split()
+        i += 1
+        if not parts:
+            continue
+        key = parts[0]
+        if key == "FLAG" and len(parts) > 1:
+            flags = _FlagParser({"long": "long", "num": "num"}.get(
+                parts[1], "char"))
+        elif key == "AF" and len(parts) > 1 and parts[1].isdigit() and len(parts) == 2:
+            aliases = []
+        elif key == "AF":
+            aliases.append(flags.parse(parts[1]))
+        elif key == "IGNORE" and len(parts) > 1:
+            d.ignore = parts[1]
+        elif key in ("ICONV", "OCONV") and len(parts) == 2 and parts[1].isdigit():
+            pass  # count line
+        elif key in ("ICONV", "OCONV") and len(parts) >= 3:
+            (d.iconv if key == "ICONV" else d.oconv).append(
+                (parts[1], parts[2]))
+        elif key == "KEEPCASE" and len(parts) > 1:
+            d.keepcase = parts[1]
+        elif key == "NEEDAFFIX" and len(parts) > 1:
+            d.needaffix = parts[1]
+        elif key == "ONLYINCOMPOUND" and len(parts) > 1:
+            d.onlyincompound = parts[1]
+        elif key == "FORBIDDENWORD" and len(parts) > 1:
+            d.forbidden = parts[1]
+        elif key in ("PFX", "SFX") and len(parts) >= 4 and parts[3].isdigit() \
+                and len(parts) == 4:
+            # header: PFX flag cross_product count
+            flag, cross, count = parts[1], parts[2] == "Y", int(parts[3])
+            for _ in range(count):
+                while i < len(lines):
+                    sub = lines[i].split("#")[0].split()
+                    i += 1
+                    if sub:
+                        break
+                else:
+                    break
+                # rule: PFX flag strip append [condition]
+                strip = "" if sub[2] == "0" else sub[2]
+                append_raw = sub[3]
+                if "/" in append_raw:
+                    app, cont_s = append_raw.split("/", 1)
+                    if cont_s.isdigit() and aliases:
+                        cont = aliases[int(cont_s) - 1]
+                    else:
+                        cont = flags.parse(cont_s)
+                else:
+                    app, cont = append_raw, frozenset()
+                app = "" if app == "0" else app
+                cond_s = sub[4] if len(sub) > 4 else "."
+                if key == "PFX":
+                    cond = None if cond_s == "." else re.compile(
+                        "^" + cond_s)
+                    d.prefixes.setdefault(app, []).append(
+                        Affix(flag, cross, strip, app, cont, cond))
+                else:
+                    cond = None if cond_s == "." else re.compile(
+                        cond_s + "$")
+                    d.suffixes.setdefault(app, []).append(
+                        Affix(flag, cross, strip, app, cont, cond))
+    return d, flags
+
+
+def parse_dic_file(text: str, d: Dictionary, flags: _FlagParser) -> None:
+    lines = text.splitlines()
+    for line in lines[1:]:  # first line = word count
+        line = line.split("\t")[0].strip()
+        if not line or line.startswith("#"):
+            continue
+        if "/" in line:
+            word, fs = line.split("/", 1)
+            fset = flags.parse(fs.split()[0]) if fs else frozenset()
+        else:
+            word, fset = line.split()[0] if line.split() else line, frozenset()
+        word = _apply_conv(word, d.iconv)
+        if d.ignore:
+            word = "".join(c for c in word if c not in d.ignore)
+        if not word:
+            continue
+        if d.ignore_case:
+            word = word.lower()
+        d.words.setdefault(word, []).append(fset)
+
+
+def load(aff_text: str, dic_texts: list[str],
+         ignore_case: bool = False) -> Dictionary:
+    d, flags = parse_affix_file(aff_text)
+    d.ignore_case = ignore_case
+    for t in dic_texts:
+        parse_dic_file(t, d, flags)
+    return d
+
+
+class Stemmer:
+    """uniqueStems per the reference's Stemmer.php contract."""
+
+    def __init__(self, d: Dictionary, longest_only: bool = False):
+        self.d = d
+        self.longest_only = longest_only
+        self._cache: dict[str, list[str]] = {}
+
+    # -- public ------------------------------------------------------------
+    def unique_stems(self, word: str) -> list[str]:
+        got = self._cache.get(word)
+        if got is not None:
+            return got
+        seen: list[str] = []
+        for variant, forbid_keepcase in self._case_variants(word):
+            for s in self._stem(variant, forbid_keepcase):
+                if s not in seen:
+                    seen.append(s)
+        if self.longest_only and seen:
+            seen = [max(seen, key=len)]
+        if len(self._cache) < 1_000_000:
+            self._cache[word] = seen
+        return seen
+
+    # -- internals ----------------------------------------------------------
+    def _case_variants(self, w: str):
+        """EXACT / lower(title-case words may match lowercase entries) /
+        title — Stemmer.php caseOf/stemWord2 :89-151."""
+        yield w, False
+        lw = w.lower()
+        if lw != w:
+            # non-lowercase input also tries the lowercase form, but
+            # KEEPCASE-flagged dictionary entries must then be rejected
+            yield lw, True
+
+    def _entry_ok(self, fsets: list[frozenset[str]], affix_flag: str | None,
+                  forbid_keepcase: bool) -> bool:
+        d = self.d
+        for fs in fsets:
+            if d.forbidden and d.forbidden in fs:
+                continue
+            if d.onlyincompound and d.onlyincompound in fs:
+                continue
+            if forbid_keepcase and d.keepcase and d.keepcase in fs:
+                continue
+            if affix_flag is None:
+                if d.needaffix and d.needaffix in fs:
+                    continue  # bare form requires an affix
+                return True
+            if affix_flag in fs:
+                return True
+        return False
+
+    def _stem(self, word: str, forbid_keepcase: bool) -> list[str]:
+        out: list[str] = []
+        entry = self.d.lookup(word)
+        if entry and self._entry_ok(entry, None, forbid_keepcase):
+            out.append(word)
+        out.extend(self._strip(word, forbid_keepcase, prefix_depth=0,
+                               suffix_depth=0, required_flags=None))
+        return out
+
+    def _candidates(self, word: str, table: dict[str, list[Affix]],
+                    is_prefix: bool):
+        """All affix rules whose append matches word's edge."""
+        for ln in range(1, len(word)):
+            edge = word[:ln] if is_prefix else word[len(word) - ln:]
+            for a in table.get(edge, ()):
+                yield a
+
+    def _strip(self, word: str, forbid_keepcase: bool, prefix_depth: int,
+               suffix_depth: int, required_flags: frozenset[str] | None,
+               ) -> list[str]:
+        """Remove one affix and validate/recurse (Stemmer::stem/applyAffix
+        :296-685, depth-limited exactly like Lucene: 1 prefix, 2 suffixes)."""
+        out: list[str] = []
+        d = self.d
+        if prefix_depth == 0:
+            for a in self._candidates(word, d.prefixes, True):
+                rest = a.strip + word[len(a.append):]
+                if a.cond and not a.cond.search(rest):
+                    continue
+                if required_flags is not None and a.flag not in required_flags:
+                    continue
+                entry = d.lookup(rest)
+                if entry and self._entry_ok(entry, a.flag, forbid_keepcase):
+                    out.append(rest)
+                # cross-product: allow suffix stripping after this prefix,
+                # requiring suffix rules flagged on the same entry
+                if a.cross:
+                    for s in self._strip(rest, forbid_keepcase,
+                                         prefix_depth=1, suffix_depth=suffix_depth,
+                                         required_flags=None):
+                        # validate the prefix flag against the final entry
+                        fsets = d.lookup(s)
+                        if fsets and self._entry_ok(fsets, a.flag,
+                                                    forbid_keepcase):
+                            out.append(s)
+        if suffix_depth < 2:
+            for a in self._candidates(word, d.suffixes, False):
+                rest = word[: len(word) - len(a.append)] + a.strip
+                if a.cond and not a.cond.search(rest):
+                    continue
+                if required_flags is not None and a.flag not in required_flags:
+                    continue
+                entry = d.lookup(rest)
+                if entry and self._entry_ok(entry, a.flag, forbid_keepcase):
+                    out.append(rest)
+                # double suffix via continuation classes: the outer
+                # suffix's flag must appear in the INNER rule's cont set
+                if suffix_depth == 0:
+                    for b in self._candidates(rest, d.suffixes, False):
+                        if a.flag not in b.cont_flags:
+                            continue
+                        rest2 = rest[: len(rest) - len(b.append)] + b.strip
+                        if b.cond and not b.cond.search(rest2):
+                            continue
+                        entry2 = d.lookup(rest2)
+                        if entry2 and self._entry_ok(entry2, b.flag,
+                                                     forbid_keepcase):
+                            out.append(rest2)
+        return out
+
+
+def hunspell_stem_series(terms, stemmer: Stemmer, dedup: bool = True):
+    """Vocabulary-level mapping helper for pandas UDFs: term ->
+    first stem (or the term itself when the dictionary has no answer) —
+    HunspellStemFilter semantics with dedup=True (:34-39)."""
+    out = []
+    for t in terms:
+        stems = stemmer.unique_stems(t)
+        out.append(stems[0] if stems else t)
+    return out

@@ -1,0 +1,216 @@
+"""Dictionary-morphology lemmatizer (SURVEY §2 A8-A11).
+
+Reimplements the reference's Morphology model
+(/root/reference/src/analyses/morphology/Morphology.php:17-275,
+Heuristic.php:23-43, LuceneMorphology.php, english/russian letter codecs)
+from scratch:
+
+* model = sorted array of REVERSED dictionary words (the "separators"),
+  each mapped to a set of Heuristics {suffix_len, replacement_suffix,
+  tags}; lookup = binary search for the rightmost separator <= the
+  reversed input (findRuleId :92-131), generalizing by shared suffix;
+* a Heuristic rewrites "strip N chars, append suffix"
+  (Heuristic::transformWord :37-43); identity fallback when nothing
+  applies (:69-74);
+* letter codecs pack <=6 letters into base-N ints (A11: English base-28
+  incl. dash, Russian base-34 with ё->е folding) — kept for parity and
+  property-tested, though the engine binary-searches the reversed strings
+  directly (the base-N encoding is order-preserving, so both orders
+  coincide; the int packing was a PHP/Java memory trick);
+* PLUS a model BUILDER from (word, lemma, tags) training rows — the
+  reference only reads a prebuilt morph.info; building one from a lemma
+  table is the from-scratch equivalent (same on-disk semantics).
+
+EnglishStemmer policy (A10, EnglishStemmer.php:24-41): one normal form ->
+use it; several -> drop the identity form and use the survivor iff
+unique, else keep the word.  (Documented divergence per SURVEY §7.6: the
+reference's `array_search` truthiness bug keeps the identity form when it
+sits at index 0; we implement the intended semantics.)
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+import numpy as np
+
+# ---------------------------------------------------------------- codecs
+
+_EN_ALPHABET = "-abcdefghijklmnopqrstuvwxyz"          # base 28 with NUL=0
+_RU_ALPHABET = "-абвгдежзийклмнопрстуфхцчшщъыьэюя"    # ё folded to е
+
+
+class LetterCodec:
+    """Base-N packing of <=6 letters per int (A11)."""
+
+    def __init__(self, alphabet: str):
+        self.alphabet = alphabet
+        self.base = len(alphabet) + 1
+        self.idx = {c: i + 1 for i, c in enumerate(alphabet)}
+
+    def check(self, word: str) -> bool:
+        return bool(word) and all(c in self.idx for c in word)
+
+    def encode(self, word: str) -> tuple[int, ...]:
+        out = []
+        for i in range(0, len(word), 6):
+            v = 0
+            for c in word[i:i + 6]:
+                v = v * self.base + self.idx[c]
+            out.append(v)
+        return tuple(out)
+
+    def decode(self, blocks: tuple[int, ...]) -> str:
+        chars = []
+        for v in blocks:
+            seg = []
+            while v:
+                seg.append(self.alphabet[(v % self.base) - 1])
+                v //= self.base
+            chars.extend(reversed(seg))
+        return "".join(chars)
+
+
+ENGLISH_CODEC = LetterCodec(_EN_ALPHABET)
+RUSSIAN_CODEC = LetterCodec(_RU_ALPHABET)
+
+
+def russian_clean(word: str) -> str:
+    """ё->е folding (RussianLetterDecoderEncoder::cleanString :130-133)."""
+    return word.replace("ё", "е")
+
+
+# ------------------------------------------------------------------ model
+
+@dataclass(frozen=True)
+class Heuristic:
+    suffix_len: int
+    replacement: str
+    tags: str = ""
+
+    def transform(self, word: str) -> str:
+        if self.suffix_len > len(word):
+            return word
+        return word[: len(word) - self.suffix_len] + self.replacement
+
+
+class Morphology:
+    """separators (sorted reversed words) -> heuristic sets."""
+
+    def __init__(self, separators: list[str],
+                 rules: list[tuple[Heuristic, ...]],
+                 codec: LetterCodec = ENGLISH_CODEC):
+        assert separators == sorted(separators)
+        self.separators = separators
+        self.rules = rules
+        self.codec = codec
+
+    # -- lookup (findRuleId, Morphology.php:92-131) ----------------------
+    def _rule_block(self, word: str) -> tuple[Heuristic, ...] | None:
+        rev = word[::-1]
+        i = bisect.bisect_right(self.separators, rev) - 1
+        if i < 0:
+            return None
+        # generalize only while the separator shares a suffix with word
+        sep = self.separators[i]
+        common = 0
+        for a, b in zip(sep, rev):
+            if a != b:
+                break
+            common += 1
+        if common == 0:
+            return None
+        return self.rules[i]
+
+    def normal_forms(self, word: str) -> list[str]:
+        if not self.codec.check(word):
+            return [word]
+        block = self._rule_block(word)
+        out: list[str] = []
+        if block:
+            for h in block:
+                if h.suffix_len <= len(word):
+                    f = h.transform(word)
+                    if f and f not in out:
+                        out.append(f)
+        if not out:
+            out.append(word)  # identity fallback (:69-74)
+        return out
+
+    def morph_info(self, word: str) -> list[tuple[str, str]]:
+        """(normal form, grammar tags) pairs (getMorphInfo :79-90)."""
+        if not self.codec.check(word):
+            return [(word, "")]
+        block = self._rule_block(word)
+        if not block:
+            return [(word, "")]
+        return [(h.transform(word), h.tags) for h in block
+                if h.suffix_len <= len(word)]
+
+    # -- builder -----------------------------------------------------------
+    @classmethod
+    def build(cls, rows: list[tuple[str, str] | tuple[str, str, str]],
+              codec: LetterCodec = ENGLISH_CODEC) -> "Morphology":
+        """Build from (word, lemma[, tags]) training rows: per word, the
+        heuristic is (len(word)-common_prefix, lemma tail); words sharing
+        identical heuristic sets share rule blocks (LuceneMorphology::
+        readRules dedup, :27-41)."""
+        per_word: dict[str, set[Heuristic]] = {}
+        for row in rows:
+            word, lemma = row[0], row[1]
+            tags = row[2] if len(row) > 2 else ""
+            if not codec.check(word) or not codec.check(lemma):
+                continue
+            common = 0
+            for a, b in zip(word, lemma):
+                if a != b:
+                    break
+                common += 1
+            h = Heuristic(len(word) - common, lemma[common:], tags)
+            per_word.setdefault(word, set()).add(h)
+        seps = sorted(per_word, key=lambda w: w[::-1])
+        interned: dict[frozenset, tuple[Heuristic, ...]] = {}
+        rules = []
+        for w in seps:
+            key = frozenset(per_word[w])
+            if key not in interned:
+                interned[key] = tuple(sorted(
+                    per_word[w], key=lambda h: (h.suffix_len, h.replacement)))
+            rules.append(interned[key])
+        return cls([w[::-1] for w in seps], rules, codec)
+
+
+class EnglishStemmerPolicy:
+    """A10 tie-break (EnglishStemmer.php:24-41)."""
+
+    def __init__(self, morph: Morphology):
+        self.morph = morph
+        self._cache: dict[str, str] = {}
+
+    def stem(self, word: str) -> str:
+        got = self._cache.get(word)
+        if got is not None:
+            return got
+        forms = self.morph.normal_forms(word)
+        if len(forms) == 1:
+            s = forms[0]
+        else:
+            survivors = [f for f in forms if f != word]
+            s = survivors[0] if len(survivors) == 1 else word
+        if len(self._cache) < 1_000_000:
+            self._cache[word] = s
+        return s
+
+
+def lemma_expand(tokens, morph: Morphology):
+    """MorphologyFilter semantics (A8): each term replaced by its normal
+    form(s); multiple lemmas stack at the SAME position (pos_inc 0 for the
+    2nd+, MorphologyFilter.php:36,59-63)."""
+    out = []
+    for t in tokens:
+        forms = morph.normal_forms(t.term)
+        out.append(t._replace(term=forms[0]))
+        for extra in forms[1:]:
+            out.append(t._replace(term=extra, pos_inc=0))
+    return out

@@ -200,15 +200,39 @@ def wand_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
               k1: float = K1, b: float = B) -> DataFrame:
     """Block-max WAND top-k for one query string -> (doc_id, score).
 
+    The query text runs through the SAME analysis chain as indexing.
+    """
+    terms = sorted({t.term for t in analyze(query)})
+    return wand_topk_terms(postings, tstats, n_docs, avgdl, terms, k, k1, b)
+
+
+def prefix_topk(postings: DataFrame, tdict: DataFrame, n_docs: int,
+                avgdl: float, prefix: str, k: int = 10,
+                max_expansions: int = 64) -> DataFrame:
+    """Prefix (wildcard `p*`) query — the reference's automaton package
+    (SURVEY A19) maps to a RANGE predicate on the sorted term dictionary:
+    expand matching terms (bounded, df-descending like Lucene's top-terms
+    rewrite), then score the union through the same WAND kernel."""
+    terms = [r["term"] for r in
+             (tdict.filter(F.col("term").startswith(prefix.lower()))
+              .orderBy(F.desc("df"), F.asc("term"))
+              .limit(max_expansions).collect())]
+    return wand_topk_terms(postings, tdict, n_docs, avgdl, sorted(terms), k)
+
+
+def wand_topk_terms(postings: DataFrame, tstats: DataFrame, n_docs: int,
+                    avgdl: float, terms: list[str], k: int = 10,
+                    k1: float = K1, b: float = B) -> DataFrame:
+    """Core WAND entry over pre-analyzed terms.
+
     ``tstats`` is (term, df, ...) — from term_stats_from_postings or the
     DataFrame path; only the query's rows are collected (driver-side idf,
     see fulltext.idf on why).
     """
     spark = postings.sparkSession
-    terms = sorted({t.term for t in analyze(query)})
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta_rows = (tstats.filter(F.col("term").isin(terms))
+    meta_rows = (tstats.filter(F.col("term").isin(list(terms)))
                  .select("term", "df").orderBy("term").collect())
     if not meta_rows:
         return spark.createDataFrame([], "doc_id long, score double")

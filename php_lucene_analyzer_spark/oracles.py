@@ -180,6 +180,16 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY revenue DESC, n_name LIMIT 10
 """
 
+ORACLES["prefix_terms"] = f"""
+WITH {_TOK}, {_TF},
+ts AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       FROM tf GROUP BY 1),
+td AS (SELECT row_number() OVER (ORDER BY term)::BIGINT AS term_id, term, df
+       FROM ts)
+SELECT term_id, term, df FROM td
+WHERE term LIKE 's%' OR regexp_matches(term, '^.a.+r$')
+"""
+
 ORACLES["quality_score"] = f"""
 WITH t AS (
   SELECT doc_id, text,

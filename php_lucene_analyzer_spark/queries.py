@@ -274,6 +274,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard/regex term matching (SURVEY A19): the automaton package's
+    role collapses to predicates on the sorted term dictionary — prefix =
+    range scan (min/max-prunable), regex = rlike."""
+    td = q_term_dict(spark, sf_dir)
+    return (td.filter(F.col("term").startswith("s")
+                      | F.col("term").rlike("^.a.+r$"))
+            .select("term_id", "term", "df"))
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (operators/textstats.py), JVM exprs."""
     from .operators.textstats import quality_score
@@ -316,6 +326,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
+    "prefix_terms": q_prefix_terms,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "simhash": q_simhash,

@@ -98,3 +98,33 @@ def test_fast_path_matches_full_chain():
         fast = analyze_terms(text)
         assert Counter(t.term for t in slow) == Counter(fast), text[:60]
         assert len(slow) == len(fast)
+
+
+def test_analyzer_class_variants():
+    """Analyzer composition parity: default == module chain; hunspell and
+    morphology stemmer slots produce their family's outputs."""
+    from php_lucene_analyzer_spark.analysis.analyzers import Analyzer
+    from php_lucene_analyzer_spark.analysis.chain import analyze_terms
+    from php_lucene_analyzer_spark.analysis.hunspell import Stemmer, load
+    from php_lucene_analyzer_spark.analysis.morphology import Morphology
+    from php_lucene_analyzer_spark.corpus import _gen_content
+
+    default = Analyzer()
+    for text in ["The QuickBrown_fox is RUNNING fast", _gen_content(7)]:
+        assert default.terms(text) == analyze_terms(text)
+        assert [t.term for t in default.tokens(text)] \
+            == [t.term for t in analyze(text)]
+
+    aff = "SET UTF-8\nSFX G Y 1\nSFX G 0 ing [^e]\n"
+    dic = "2\njump/G\nwalk/G\n"
+    hun = Analyzer(stemmer="hunspell",
+                   hunspell=Stemmer(load(aff, [dic])))
+    assert hun.terms("jumping walking") == ["jump", "walk"]
+    assert hun.terms("unknownword") == ["unknownword"]  # no stem -> keep
+
+    m = Morphology.build([("running", "run"), ("mice", "mouse")])
+    mor = Analyzer(stemmer="morphology", morphology=m)
+    assert mor.terms("mice") == ["mouse"]
+
+    plain = Analyzer(stemmer=None, stop_words=None)
+    assert plain.terms("the running") == ["the", "running"]

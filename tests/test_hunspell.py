@@ -1,0 +1,127 @@
+"""Hunspell loader + stemmer tests (SURVEY §2 A12-A14) over a synthetic
+dictionary exercising: prefixes, suffixes with strip + condition,
+cross-product, continuation-class double suffixes, ICONV, IGNORE,
+KEEPCASE / NEEDAFFIX gates, flag strategies. No Spark needed."""
+
+from php_lucene_analyzer_spark.analysis.hunspell import (
+    Stemmer, _apply_conv, load)
+
+AFF = """
+SET UTF-8
+KEEPCASE K
+NEEDAFFIX X
+ONLYINCOMPOUND O
+ICONV 1
+ICONV ’ '
+
+PFX A Y 1
+PFX A 0 re .
+
+PFX U N 1
+PFX U 0 un .
+
+SFX V Y 2
+SFX V e ive e
+SFX V 0 ive [^e]
+
+SFX G Y 2
+SFX G e ing e
+SFX G 0 ing [^e]
+
+SFX D Y 3
+SFX D 0 d e
+SFX D y ied [^aeiou]y
+SFX D 0 ed [^ey]
+
+SFX S Y 2
+SFX S 0 s [^sy]
+SFX S y ies [^aeiou]y
+
+SFX L Y 1
+SFX L 0 ly/S .
+"""
+
+DIC = """10
+create/VGD
+jump/GDS
+carry/DS
+walk/AGDS
+quick/L
+Paris/K
+stem/X
+fix/UGDS
+move/VGD
+try/DS
+"""
+
+
+def _stemmer(**kw):
+    return Stemmer(load(AFF, [DIC], **kw))
+
+
+def test_simple_suffixes():
+    st = _stemmer()
+    assert st.unique_stems("jumps") == ["jump"]
+    assert st.unique_stems("jumped") == ["jump"]
+    assert st.unique_stems("jumping") == ["jump"]
+    assert st.unique_stems("jump") == ["jump"]
+
+
+def test_strip_and_condition():
+    st = _stemmer()
+    # e-strip: creating = create - e + ing
+    assert st.unique_stems("creating") == ["create"]
+    assert st.unique_stems("created") == ["create"]
+    assert st.unique_stems("creative") == ["create"]
+    # y -> ied condition [^aeiou]y
+    assert st.unique_stems("carried") == ["carry"]
+    assert st.unique_stems("carries") == ["carry"]
+    assert st.unique_stems("tried") == ["try"]
+
+
+def test_prefix_and_cross_product():
+    st = _stemmer()
+    assert st.unique_stems("rewalk") == ["walk"]       # prefix alone
+    assert st.unique_stems("rewalking") == ["walk"]    # cross product
+    assert st.unique_stems("rewalked") == ["walk"]
+    # U prefix is NOT cross-product: unfixing must not resolve
+    assert st.unique_stems("unfix") == ["fix"]
+    assert st.unique_stems("unfixing") == []
+
+
+def test_continuation_double_suffix():
+    st = _stemmer()
+    assert st.unique_stems("quickly") == ["quick"]
+    # L's append carries /S: the S rule (y->ies, cond [^aeiou]y) composes
+    # on top of ly through the continuation-class chain
+    assert st.unique_stems("quicklies") == ["quick"]
+    # without the continuation flag the chain is rejected
+    assert st.unique_stems("jumpings") == []
+
+
+def test_gates():
+    st = _stemmer()
+    # KEEPCASE: 'Paris' only in exact case
+    assert st.unique_stems("Paris") == ["Paris"]
+    assert st.unique_stems("PARIS") == []
+    # NEEDAFFIX: bare 'stem' may not match as a word
+    assert st.unique_stems("stem") == []
+
+
+def test_unknown_words():
+    st = _stemmer()
+    assert st.unique_stems("zzzz") == []
+    assert st.unique_stems("jumpeding") == []
+
+
+def test_iconv_and_case_variant():
+    st = _stemmer()
+    # title-case input falls back to the lowercase entry
+    assert st.unique_stems("Jumping") == ["jump"]
+    assert _apply_conv("a’b", [("’", "'")]) == "a'b"
+
+
+def test_longest_only_mode():
+    d = load(AFF, [DIC])
+    st = Stemmer(d, longest_only=True)
+    assert st.unique_stems("creating") == ["create"]
