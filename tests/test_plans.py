@@ -26,14 +26,17 @@ def _plan(df) -> str:
 
 
 def test_filter_pushdown_to_parquet(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    # lineitem is never .cache()d by any fixture — if it were, Spark would
+    # (correctly) swap the scan for InMemoryTableScan and hide pushdown
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_orderkey") < 100).select("l_orderkey", "l_quantity")
     plan = _plan(q)
-    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]" \
+        in plan
     # column pruning: only the two selected columns reach the scan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) \
-        == {"doc_id", "text"}
+        == {"l_orderkey", "l_quantity"}
 
 
 def test_postings_scan_prunes_by_term(spark, docs):
