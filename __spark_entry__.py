@@ -58,11 +58,33 @@ def _wand_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def _phrase_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase matching over the positional index (full-chain
+    positions incl. stopword holes — not SQL-expressible; verified
+    against a brute-force position oracle in tests/test_positional.py)."""
+    import pyspark.sql.functions as F
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, positional_postings)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = positional_postings(
+        docs.repartitionByRange(4, "doc_id"), "doc_id", "text").cache()
+    out = None
+    for qid, phrase in (("p1", "merge join"), ("p2", "fast merge join"),
+                        ("p3", "the spark stream")):
+        m = phrase_match(pos, phrase).select(
+            F.lit(qid).alias("qid"), "doc_id", "n_matches")
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from php_lucene_analyzer_spark.queries import QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["wand_fullchain"] = _wand_suite  # rows-only: non-SQL-expressible
+    out["phrase_match"] = _phrase_suite  # rows-only: non-SQL-expressible
     return out
 
 

@@ -130,6 +130,57 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return est.filter(F.col("est_jaccard") >= min_jaccard)
 
 
+# ------------------------------------------------- embedding near-dup
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        min_cosine: float = 0.95, bits: int = 12,
+                        seed: int = 42, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join
+    (candidates share the full b-bit sign code), exact cosine verify.
+
+    The scalable shape: no O(n²) pair space — candidates come from a
+    shuffle self-join on the code, and near-identical vectors (the
+    dedup regime, cos >= ~0.95) collide with probability
+    (1 - theta/pi)^bits ~ (1 - 0.10)^12 ~ 0.28 per table; callers wanting
+    higher recall union several seeds (multi-table LSH).
+    Returns (vec_a, vec_b, cosine), vec_a < vec_b.
+    """
+    from .ann import lsh_codes
+
+    codes = lsh_codes(emb, id_col, vec_col, bits, seed, dim)
+    with_codes = emb.join(codes, emb[id_col] == codes["vec_id"]) \
+                    .select(codes["vec_id"].alias("vid"),
+                            F.col(vec_col).alias("v"), "code")
+    a, b = with_codes.alias("a"), with_codes.alias("b")
+    cand = (a.join(b, (F.col("a.code") == F.col("b.code"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb")))
+    dot = F.aggregate(F.zip_with("va", "vb",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (lambda c: F.sqrt(F.aggregate(
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)))
+    return (cand.select("vec_a", "vec_b",
+                        F.round(dot / (nrm("va") * nrm("vb")), 6)
+                        .alias("cosine"))
+            .filter(F.col("cosine") >= min_cosine))
+
+
+def multi_table_embedding_near_dups(emb: DataFrame, n_tables: int = 4,
+                                    **kw) -> DataFrame:
+    """Union of ``n_tables`` independent-seed LSH tables (recall boost:
+    1-(1-p)^T), deduped on the pair key."""
+    out = None
+    for t in range(n_tables):
+        part = embedding_near_dups(emb, seed=42 + 1000 * t, **kw)
+        out = part if out is None else out.unionAll(part)
+    return out.dropDuplicates(["vec_a", "vec_b"])
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

@@ -23,7 +23,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..analysis import analyze
-from ..analysis.chain import term_vectors_udf
 
 K1 = 1.2
 B = 0.75

@@ -47,7 +47,6 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.codec import delta_encode, vbyte_encode
 
 BLOCK_SIZE = 128
 

@@ -136,3 +136,20 @@ def test_textstats(spark, ddocs):
     a = {r["fp"] for r in fps.filter(F.col("doc_id") == 5).collect()}
     b = {r["fp"] for r in fps.filter(F.col("doc_id") == 10005).collect()}
     assert a == b and len(a) > 0
+
+
+def test_embedding_near_dups(spark, emb):
+    import pyspark.sql.functions as F
+    # plant near-duplicates: copy of vec 0-4 with tiny perturbation
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 90000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        "label")
+    both = emb.unionByName(planted)
+    pairs = dedup.multi_table_embedding_near_dups(
+        both, n_tables=4, min_cosine=0.99)
+    found = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in pairs.collect()}
+    hits = sum(1 for i in range(5) if (i, i + 90000) in found)
+    assert hits >= 4  # multi-table LSH recall on near-identical vectors
+    for (a, b), c in found.items():
+        assert c >= 0.99

@@ -71,4 +71,4 @@ def test_every_query_has_oracle_or_is_flagged():
     rows_only = set(qs) - set(os_)
     # only the genuinely non-SQL-expressible ops may skip the oracle
     assert rows_only <= {"wand_fullchain", "simhash", "lsh_pairs",
-                         "streaming_index"}
+                         "phrase_match", "streaming_index"}
