@@ -77,3 +77,41 @@ def test_agg_is_partial_then_final(spark):
     plan = _plan(q_term_stats(spark, "/root/testdata/sf0.001"))
     assert plan.count("HashAggregate") >= 4  # partial+final x two aggs
     assert "Exchange" in plan
+
+
+def test_plans_package_helpers(spark):
+    """plans/ package: pushdown + pruning + shuffle census + skew advisor."""
+    import pyspark.sql.functions as F2
+
+    from php_lucene_analyzer_spark.plans import (
+        assert_no_python_eval, key_skew_report, pushed_filters, read_schema,
+        shuffle_count, suggest_salt)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F2.col("l_orderkey") < 50).select("l_orderkey")
+    assert any("LessThan(l_orderkey,50)" in f for f in pushed_filters(q))
+    assert read_schema(q) == [{"l_orderkey"}]
+    assert shuffle_count(q) == 0
+    assert shuffle_count(li.groupBy("l_orderkey").count()) == 1
+    assert_no_python_eval(q)
+
+    rep = key_skew_report(li, "l_returnflag")
+    assert rep["total"] == li.count() and 0 < rep["p_max"] <= 1
+    assert suggest_salt(rep, target_rows_per_task=1000) >= 2
+    assert suggest_salt({"total": 0, "top": []}) == 1
+
+
+def test_index_build_single_shuffle(spark):
+    """The fused index build's budget: exactly ONE Exchange (doc-id range
+    partition); the posting construction adds none."""
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+    from php_lucene_analyzer_spark.operators.fulltext import with_doc_ids
+    from php_lucene_analyzer_spark.operators.postings import index_corpus
+    from php_lucene_analyzer_spark.plans import shuffle_count
+
+    docs = synthetic_corpus(spark, 200, partitions=2)
+    ids = with_doc_ids(docs, ["repo", "path"], partitions=2)
+    sp = index_corpus(ids, "doc_id", "content")
+    # the checkpointed id-assignment exchange is materialized already;
+    # the remaining live plan must be shuffle-free
+    assert shuffle_count(sp) == 0
