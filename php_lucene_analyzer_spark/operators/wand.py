@@ -126,9 +126,64 @@ class _TermCursor:
             self.cur = int(self.docs[self.wi])
 
 
+def _score_bucket_vectorized(pdf: pd.DataFrame,
+                             term_meta: list[tuple[str, float]], k: int,
+                             avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """Exhaustive NumPy scoring of one bucket — the ADAPTIVE fallback for
+    queries whose terms are near-ubiquitous: when block-max bounds cannot
+    prune (flat scores), document-at-a-time cursor stepping is pure
+    overhead, while decoding every block into one vectorized accumulation
+    is memory-bandwidth fast.  Float contract preserved: docs accumulate
+    their terms in term order (terms iterate outermost), so results stay
+    bit-identical to WAND/exhaustive."""
+    min_doc = int(pdf["first_doc"].min())
+    max_doc = int(pdf["last_doc"].max())
+    scores = np.zeros(max_doc - min_doc + 1, dtype=np.float64)
+    touched = np.zeros(scores.size, dtype=bool)
+    for term, idf in term_meta:  # term order == float contract
+        rows = pdf[pdf["term"] == term]
+        if not len(rows):
+            continue
+        rows = rows.sort_values(["rbucket", "block_no"])
+        docs = np.concatenate([
+            delta_decode(vbyte_decode(bl)).astype(np.int64)
+            for bl in rows["doc_blob"]])
+        tfs = np.concatenate([vbyte_decode(bl) for bl in rows["tf_blob"]]) \
+            .astype(np.float64)
+        dls = np.concatenate([vbyte_decode(bl) for bl in rows["dl_blob"]]) \
+            .astype(np.float64)
+        idx = docs - min_doc
+        contrib = (idf * (tfs * (k1 + 1.0))
+                   / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
+        scores[idx] += contrib  # each doc appears once per term
+        touched[idx] = True
+    hit = np.flatnonzero(touched)
+    if hit.size == 0:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"})
+    s = scores[hit]
+    if hit.size > k:
+        part = np.argpartition(-s, k - 1)[:k]
+        # deterministic tie-break: (score desc, doc asc)
+        order = part[np.lexsort((hit[part], -s[part]))]
+    else:
+        order = np.lexsort((hit, -s))
+    return pd.DataFrame({"doc_id": (hit[order] + min_doc).astype(np.int64),
+                         "score": s[order]})
+
+
 def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[str, float]],
-                 k: int, avgdl: float, k1: float, b: float) -> pd.DataFrame:
-    """WAND over one rbucket. term_meta = [(term, idf)] in term order."""
+                 k: int, avgdl: float, k1: float, b: float,
+                 dense_threshold: float = 0.10) -> pd.DataFrame:
+    """WAND over one rbucket. term_meta = [(term, idf)] in term order.
+
+    Adaptive: if the bucket's matched postings cover more than
+    ``dense_threshold`` of its doc range, pruning cannot win — switch to
+    the vectorized exhaustive kernel (same float contract)."""
+    n_postings = int(pdf["n"].sum())
+    span = int(pdf["last_doc"].max()) - int(pdf["first_doc"].min()) + 1
+    if span > 0 and n_postings > dense_threshold * span:
+        return _score_bucket_vectorized(pdf, term_meta, k, avgdl, k1, b)
     cursors: list[_TermCursor] = []
     for term, idf in term_meta:
         rows = pdf[pdf["term"] == term]
