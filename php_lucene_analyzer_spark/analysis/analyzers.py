@@ -38,7 +38,8 @@ class Analyzer:
                  lower: bool = True,
                  stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
                  stemmer: str | None = "porter2",
-                 hunspell=None, morphology=None):
+                 hunspell=None, morphology=None, char_map=None):
+        self.char_map = char_map  # NormalizeCharMap pre-filter (A16)
         self.word_delimiter = word_delimiter
         self.lower = lower
         self.stop_words = stop_words or frozenset()
@@ -64,6 +65,8 @@ class Analyzer:
 
     # ---- full token graph (positions/offsets) ---------------------------
     def tokens(self, text: str) -> list[Token]:
+        if self.char_map is not None:
+            text = self.char_map.apply(text)
         toks = standard_tokenize(text)
         if self.word_delimiter:
             toks = word_delimiter_graph(toks)
@@ -97,6 +100,8 @@ class Analyzer:
         return v
 
     def terms(self, text: str) -> list[str]:
+        if self.char_map is not None:
+            text = self.char_map.apply(text)
         out: list[str] = []
         for s, e, ttype in token_spans(text):
             if e - s > MAX_TOKEN_LEN:

@@ -180,6 +180,15 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY revenue DESC, n_name LIMIT 10
 """
 
+ORACLES["events_json"] = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+       round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+       min(CAST(props->>'$.k' AS BIGINT))::BIGINT AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY 1
+"""
+
 ORACLES["prefix_terms"] = f"""
 WITH {_TOK}, {_TF},
 ts AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf

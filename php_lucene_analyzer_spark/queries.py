@@ -274,6 +274,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props column (SURVEY §2-B
+    'JSON fns'): extract, cast, aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k")))
+
+
 def q_prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard/regex term matching (SURVEY A19): the automaton package's
     role collapses to predicates on the sorted term dictionary — prefix =
@@ -326,6 +338,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
+    "events_json": q_events_json,
     "prefix_terms": q_prefix_terms,
     "quality_score": q_quality_score,
     "token_count": q_token_count,

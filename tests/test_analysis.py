@@ -128,3 +128,30 @@ def test_analyzer_class_variants():
 
     plain = Analyzer(stemmer=None, stop_words=None)
     assert plain.terms("the running") == ["the", "running"]
+
+
+def test_normalize_char_map():
+    """A16: greedy longest-match rewrite; build-time validation
+    (NormalizeCharMapBuilder.php:31-40)."""
+    import pytest as _pytest
+
+    from php_lucene_analyzer_spark.analysis.analyzers import Analyzer
+    from php_lucene_analyzer_spark.analysis.charmap import (
+        NormalizeCharMapBuilder)
+
+    cm = (NormalizeCharMapBuilder()
+          .add("ph", "f").add("phone", "fone").add("ß", "ss").build())
+    # longest match wins: 'phone' not 'ph'+'one'
+    assert cm.apply("phone photo straße") == "fone foto strasse"
+    assert cm.apply("") == ""
+    assert cm.apply("no matches here!") == "no matches here!"
+
+    with _pytest.raises(ValueError):
+        NormalizeCharMapBuilder().add("", "x")
+    with _pytest.raises(ValueError):
+        NormalizeCharMapBuilder().add("a", "b").add("a", "c")
+
+    an = Analyzer(char_map=cm, stemmer=None, stop_words=None)
+    assert an.terms("Phonetic") == ["phonetic"]  # 'Ph' unchanged (case)
+    assert an.terms("photo") == ["foto"]
+    assert [t.term for t in an.tokens("photo")] == ["foto"]
