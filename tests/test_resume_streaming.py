@@ -95,3 +95,27 @@ def test_streaming_incremental_index(spark, workdir):
               .orderBy("rbucket").collect())
     for a, b in zip(ranges, ranges[1:]):
         assert a["hi"] < b["lo"]
+
+
+def test_windowed_streaming_agg_matches_batch(spark, workdir):
+    """Watermark + window agg: closed windows equal the batch query."""
+    from php_lucene_analyzer_spark.streaming.windows import (
+        batch_equivalent, windowed_event_counts)
+
+    src = workdir + "/events_in"
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .write.mode("overwrite").parquet(src)
+    q = windowed_event_counts(spark, src, workdir + "/ckpt_win",
+                              queryName="win_out_test")
+    q.awaitTermination(120)
+    got = {(str(r["window"]["start"]), r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.sql("select * from win_out_test").collect()}
+    want = {(str(r["window"]["start"]), r["event_type"]): (r["n"], r["total_value"])
+            for r in batch_equivalent(spark, src).collect()}
+    # append mode emits only windows closed by the final watermark; every
+    # emitted window must match the batch oracle exactly, and most windows
+    # must have been emitted
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) * 0.5
