@@ -128,19 +128,24 @@ def test_doc_ids_deterministic_across_partitioning(spark, docs):
     assert got_a == [(i,) for i in range(n)]
 
 
-def test_rank_identity_across_parallelism(docs):
-    """Same query, different shuffle partitioning -> identical (doc, score)
-    lists (the N vs 4N cluster-size contract, BASELINE.json north_rule)."""
-    from php_lucene_analyzer_spark.session import get_spark
+def test_rank_identity_across_parallelism(spark, docs):
+    """Same query, different shuffle partitioning AND input partitioning ->
+    identical (doc, score) lists (the N vs 4N cluster-size contract).
+    shuffle_partitions is a RUNTIME conf, mutated in place (getOrCreate
+    would silently ignore a builder-level change)."""
+    original = spark.conf.get("spark.sql.shuffle.partitions")
     results = []
-    for parts in (2, 8):
-        spark = get_spark(app=f"rank-{parts}", cpus=4, shuffle_partitions=parts)
-        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        tdf = ft.term_doc_freqs(d, "doc_id", "text")
-        n, avgdl = ft.corpus_stats(tdf)
-        tstats = ft.term_stats(tdf)
-        got = ft.bm25_topk(tdf, tstats, n, avgdl, QUERIES[0]).collect()
-        results.append([(r["doc_id"], r["score"]) for r in got])
+    try:
+        for parts, in_parts in ((2, 3), (8, 11)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            d = docs.repartition(in_parts)
+            tdf = ft.term_doc_freqs(d, "doc_id", "text")
+            n, avgdl = ft.corpus_stats(tdf)
+            tstats = ft.term_stats(tdf)
+            got = ft.bm25_topk(tdf, tstats, n, avgdl, QUERIES[0]).collect()
+            results.append([(r["doc_id"], r["score"]) for r in got])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
     assert results[0] == results[1]
 
 
@@ -159,3 +164,40 @@ def test_postings_roundtrip_covers_all_docs(spark, index):
                 .filter(F.col("term") == term).orderBy("doc_id").collect()]
     assert docs_decoded == expected
     assert docs_decoded == sorted(docs_decoded)
+
+
+def test_adversarial_skew_term(spark):
+    """A term present in EVERY doc with high tf (the Zipf worst case):
+    both build paths stay correct, blocks stay bounded at BLOCK_SIZE, and
+    no single group ever holds the full posting list in the fused path."""
+    import pandas as pd
+
+    from php_lucene_analyzer_spark.operators.postings import (
+        BLOCK_SIZE, corpus_stats_from_postings, index_corpus,
+        term_stats_from_postings)
+    from php_lucene_analyzer_spark.operators.wand import wand_topk
+    from php_lucene_analyzer_spark.plans import key_skew_report, suggest_salt
+
+    n = 600
+    rows = [(i, "hot " * 20 + f"rare{i} filler{i % 7}") for i in range(n)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ranged = docs.repartitionByRange(6, "doc_id")
+    postings = index_corpus(ranged, "doc_id", "text").cache()
+    tstats = term_stats_from_postings(postings)
+    hot = {r["term"]: (r["df"], r["cf"]) for r in tstats.collect()}["hot"]
+    assert hot == (n, 20 * n)
+    # the hot term's rows are spread across all buckets; every block <= 128
+    hot_rows = postings.filter(F.col("term") == "hot").collect()
+    assert len({r["rbucket"] for r in hot_rows}) == 6
+    assert all(r["n"] <= BLOCK_SIZE for r in hot_rows)
+    # queries over the skewed index still work and rank rare > hot-only
+    avgdl = corpus_stats_from_postings(postings, n)
+    top = wand_topk(postings, tstats, n, avgdl, "hot rare5", k=3).collect()
+    assert top[0]["doc_id"] == 5  # the doc containing rare5
+    # the skew advisor sees the hot key and prescribes a salt
+    from php_lucene_analyzer_spark.operators.fulltext import term_doc_freqs
+    tdf = term_doc_freqs(docs, "doc_id", "text")
+    rep = key_skew_report(tdf, "term")
+    # 'hot' and the WDGF-split 'filler' both sit in every doc (df=600)
+    assert "hot" in {k for k, _ in rep["top"][:3]}
+    assert suggest_salt(rep, target_rows_per_task=100) >= 6
