@@ -55,9 +55,39 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(edges[0::2].tolist(), edges[1::2].tolist()))
 
 
+import re as _re
+
+# ASCII fast path: one compiled regex reproducing the word-break rules for
+# pure-ASCII text (the overwhelmingly common case for source code):
+# [A-Za-z0-9_] word chars; ' : . join letter-letter; . , ; join
+# digit-digit — single mid chars only, enforced by the lookarounds.
+# Equivalence with the codepoint-class path is property-tested
+# (tests/test_analysis.py::test_ascii_fast_path_equivalence).
+_ASCII_TOKEN = _re.compile(
+    r"[A-Za-z0-9_]+"
+    r"(?:(?:(?<=[A-Za-z])[':.](?=[A-Za-z])"
+    r"|(?<=[0-9])[.,;](?=[0-9]))[A-Za-z0-9_]+)*")
+_HAS_ALPHA = _re.compile(r"[A-Za-z]")
+_HAS_ALNUM = _re.compile(r"[A-Za-z0-9]")
+
+
+def _ascii_spans(text: str) -> list[tuple[int, int, str]]:
+    out = []
+    for m in _ASCII_TOKEN.finditer(text):
+        s = m.group()
+        if _HAS_ALPHA.search(s):
+            out.append((m.start(), m.end(), TYPE_ALPHANUM))
+        elif _HAS_ALNUM.search(s):
+            out.append((m.start(), m.end(), TYPE_NUM))
+        # else: bare connector run ("___") emits nothing
+    return out
+
+
 def token_spans(text: str) -> list[tuple[int, int, str]]:
     """(start, end, type) spans — the vectorized core shared by the full
     token-graph path and the fast term-vector path."""
+    if text.isascii():
+        return _ascii_spans(text)
     cps = C.to_codepoints(text)
     n = cps.size
     if n == 0:

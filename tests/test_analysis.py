@@ -155,3 +155,37 @@ def test_normalize_char_map():
     assert an.terms("Phonetic") == ["phonetic"]  # 'Ph' unchanged (case)
     assert an.terms("photo") == ["foto"]
     assert [t.term for t in an.tokens("photo")] == ["foto"]
+
+
+def test_ascii_fast_path_equivalence():
+    """The ASCII regex tokenizer must equal the codepoint-class path on
+    every ASCII input (goldens, corpus, randomized)."""
+    import random
+    import string
+
+    from php_lucene_analyzer_spark.analysis.tokenizer import (
+        _ascii_spans, token_spans)
+    from php_lucene_analyzer_spark.analysis import chars as C
+    import numpy as np
+
+    def numpy_spans(text):
+        # force the general path by routing around the isascii dispatch
+        marked = text + " é"  # separated non-ascii tail, then trim results
+        full = token_spans(marked)
+        return [(s, e, t) for s, e, t in full if e <= len(text)]
+
+    cases = ["Hello World", "3.1415 and 1,000", "O'Neil's", "a:b std::foo",
+             "__ _a 1_2 a_.b x.y.z 1.2.3", "don't a.b,c 9,9 g;7 7;7",
+             "trailing. .leading 'quoted'", "", "  ", "a", "1"]
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + "_.',:;- \t()"
+    for _ in range(300):
+        cases.append("".join(rng.choice(alphabet)
+                             for _ in range(rng.randint(0, 60))))
+    from php_lucene_analyzer_spark.corpus import _gen_content
+    cases += [_gen_content(i) for i in range(10)]
+    for text in cases:
+        assert text.isascii()
+        got = _ascii_spans(text)
+        want = numpy_spans(text)
+        assert got == want, (text, got, want)
