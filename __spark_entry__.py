@@ -25,23 +25,17 @@ FLAGSHIP_QUERY = "fast merge join order"
 def _fullchain_wand(spark: SparkSession, sf_dir: str,
                     queries: dict[str, str]) -> DataFrame:
     """Full-chain engine: analyze -> postings -> WAND topk per query."""
-    import pyspark.sql.functions as F
-
     from php_lucene_analyzer_spark.operators import fulltext as ft
     from php_lucene_analyzer_spark.operators.postings import build_postings
-    from php_lucene_analyzer_spark.operators.wand import wand_topk
+    from php_lucene_analyzer_spark.operators.wand import wand_topk_many
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tdf = ft.term_doc_freqs(docs, "doc_id", "text").cache()
     n, avgdl = ft.corpus_stats(tdf)
     tstats = ft.term_stats(tdf).cache()
     postings = build_postings(tdf).cache()
-    out = None
-    for qid, q in queries.items():
-        topk = (wand_topk(postings, tstats, n, avgdl, q, k=10)
-                .select(F.lit(qid).alias("qid"), "doc_id", "score"))
-        out = topk if out is None else out.unionAll(topk)
-    return out
+    # whole query set in ONE Spark job (bit-identical to per-query WAND)
+    return wand_topk_many(postings, tstats, n, avgdl, queries, k=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -35,7 +35,8 @@ def main() -> None:
     from php_lucene_analyzer_spark.operators.postings import (
         build_postings, corpus_stats_from_postings, index_corpus,
         term_stats_from_postings)
-    from php_lucene_analyzer_spark.operators.wand import wand_topk
+    from php_lucene_analyzer_spark.operators.wand import (wand_topk,
+                                                          wand_topk_many)
     from php_lucene_analyzer_spark.corpus import synthetic_corpus
     from php_lucene_analyzer_spark.queries import QUERIES
     from php_lucene_analyzer_spark.session import get_spark
@@ -74,6 +75,12 @@ def main() -> None:
     extra["bm25_p50_sec"] = round(lat[len(lat) // 2], 4)
     extra["bm25_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
     timings["bm25_wand_suite"] = round(sum(lat) / reps, 3)
+    # batched serving shape: the whole query set in one Spark job
+    qset = {f"q{i}": q for i, q in enumerate(wand_queries)}
+    wand_topk_many(postings, tstats, n, avgdl, qset, k=10).collect()  # warm
+    tq = time.time()
+    wand_topk_many(postings, tstats, n, avgdl, qset, k=10).collect()
+    timings["bm25_wand_batched"] = round(time.time() - tq, 3)
 
     # --- oracle-suite queries: 1 untimed warmup (JIT/codegen) + 1 timed ---
     for name, fn in QUERIES.items():

@@ -110,15 +110,22 @@ def _block_rows(terms: list[str], term_offsets: np.ndarray,
 
 
 def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "content") -> DataFrame:
+                 text_col: str = "content", analyzer=None) -> DataFrame:
     """Fused analyze + posting-block build, one pass, zero extra shuffle.
 
     ``docs_with_ids`` must be partitioned into disjoint doc_id ranges
     (with_doc_ids output is).  Partition memory is bounded by the input
     split size (spark.sql.files.maxPartitionBytes), NOT by term df — the
     heavy-term problem is structurally absent.
+
+    ``analyzer``: optional analysis.analyzers.Analyzer (custom chain —
+    hunspell/morphology stemmers, char maps, custom stop sets); defaults
+    to the reference flagship chain.  Queries must use the same analyzer.
     """
-    from ..analysis.chain import analyze_terms
+    if analyzer is not None:
+        terms_of = analyzer.terms
+    else:
+        from ..analysis.chain import analyze_terms as terms_of
 
     def build(batches):
         from pyspark import TaskContext
@@ -128,7 +135,7 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             for did, text in zip(ids, pdf[text_col]):
-                toks = analyze_terms(text or "")
+                toks = terms_of(text or "")
                 dl = len(toks)
                 for t, tf in Counter(toks).items():
                     e = acc.get(t)

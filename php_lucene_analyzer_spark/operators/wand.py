@@ -27,12 +27,11 @@ global top-k) is declarative.
 from __future__ import annotations
 
 import heapq
-import math
 
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..analysis import analyze
 from ..functions.codec import delta_decode, vbyte_decode
@@ -259,6 +258,49 @@ def wand_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
     """
     terms = sorted({t.term for t in analyze(query)})
     return wand_topk_terms(postings, tstats, n_docs, avgdl, terms, k, k1, b)
+
+
+def wand_topk_many(postings: DataFrame, tstats: DataFrame, n_docs: int,
+                   avgdl: float, queries: dict[str, str], k: int = 10,
+                   k1: float = K1, b: float = B) -> DataFrame:
+    """Evaluate a whole query SET in one Spark job -> (qid, doc_id, score).
+
+    Serving shape: per-query driver round trips dominate latency at small
+    k, so the bucket kernel runs every query against its bucket in one
+    applyInPandas pass (matched terms unioned, metadata broadcast via the
+    closure), then one global top-k per qid.  Results are bit-identical
+    to per-query wand_topk."""
+    spark = postings.sparkSession
+    per_q: dict[str, list[str]] = {
+        qid: sorted({t.term for t in analyze(q)})
+        for qid, q in queries.items()}
+    all_terms = sorted({t for ts in per_q.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "qid string, doc_id long, score double")
+    dfs = {r["term"]: int(r["df"]) for r in
+           tstats.filter(F.col("term").isin(all_terms))
+           .select("term", "df").collect()}
+    metas = {qid: [(t, bm25_idf(n_docs, dfs[t])) for t in ts if t in dfs]
+             for qid, ts in per_q.items()}
+    metas = {qid: m for qid, m in metas.items() if m}
+    if not metas:
+        return spark.createDataFrame([], "qid string, doc_id long, score double")
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, meta in metas.items():
+            r = _wand_bucket(pdf, meta, k, avgdl, k1, b)
+            r.insert(0, "qid", qid)
+            outs.append(r)
+        return pd.concat(outs, ignore_index=True)
+
+    matched = postings.filter(
+        F.col("term").isin([t for m in metas.values() for t, _ in m]))
+    local = matched.groupBy("rbucket").applyInPandas(
+        bucket, schema="qid string, doc_id long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (local.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k).drop("_r"))
 
 
 def prefix_topk(postings: DataFrame, tdict: DataFrame, n_docs: int,

@@ -42,6 +42,43 @@ def windowed_event_counts(spark: SparkSession, input_dir: str,
             .start())
 
 
+def running_user_totals(spark: SparkSession, input_dir: str,
+                        checkpoint_dir: str,
+                        queryName: str = "user_totals") -> StreamingQuery:
+    """Custom STATEFUL operator: per-user running event count + value sum
+    maintained across micro-batches via applyInPandasWithState (the
+    arbitrary-state surface — what windowed aggs can't express).
+    Emits the updated cumulative row per user per batch (update mode)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                            "total_value": [round(total, 4)]})
+
+    # one file per micro-batch: state continuity is exercised across many
+    # batches within the run (cross-RESTART continuity needs a replayable
+    # sink — see incremental.py; the memory sink here is for testability)
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(input_dir))
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout")
+    return (out.writeStream.outputMode("update")
+            .format("memory").queryName(queryName)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
 def batch_equivalent(spark: SparkSession, input_dir: str,
                      window: str = "5 minutes") -> DataFrame:
     """The batch query the streaming result must agree with on closed

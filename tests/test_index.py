@@ -201,3 +201,21 @@ def test_adversarial_skew_term(spark):
     # 'hot' and the WDGF-split 'filler' both sit in every doc (df=600)
     assert "hot" in {k for k, _ in rep["top"][:3]}
     assert suggest_salt(rep, target_rows_per_task=100) >= 6
+
+
+def test_wand_topk_many_matches_per_query(spark, index):
+    from php_lucene_analyzer_spark.operators.wand import (
+        wand_topk, wand_topk_many)
+
+    qset = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    batched = wand_topk_many(index["postings"], index["tstats"], index["n"],
+                             index["avgdl"], qset).collect()
+    by_qid = {}
+    for r in batched:
+        by_qid.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qset.items():
+        single = [(r["doc_id"], r["score"]) for r in
+                  wand_topk(index["postings"], index["tstats"], index["n"],
+                            index["avgdl"], q).collect()]
+        got = sorted(by_qid.get(qid, []), key=lambda t: (-t[1], t[0]))
+        assert got == single, qid

@@ -119,3 +119,36 @@ def test_windowed_streaming_agg_matches_batch(spark, workdir):
     for k, v in got.items():
         assert want[k] == v
     assert len(got) >= len(want) * 0.5
+
+
+def test_stateful_running_totals(spark, workdir):
+    """applyInPandasWithState: per-user cumulative totals survive across
+    micro-batches; the final state equals the batch aggregation."""
+    import pyspark.sql.functions as F2
+
+    from php_lucene_analyzer_spark.streaming.windows import (
+        running_user_totals)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = workdir + "/ev_state"
+    # several files -> maxFilesPerTrigger=1 forces MANY micro-batches, so
+    # per-user state must carry across batches to produce correct totals
+    for m in range(4):
+        ev.filter(F2.col("event_id") % 4 == m).coalesce(1) \
+          .write.mode("overwrite").parquet(src + f"/b{m}")
+    q = running_user_totals(spark, src + "/*", workdir + "/ckpt_state",
+                            queryName="ut_test")
+    q.awaitTermination(180)
+    # latest update per user == batch totals over BOTH halves
+    got_rows = spark.sql(
+        "select user_id, max(n_events) n, max(total_value) v "
+        "from ut_test group by user_id").collect()
+    got = {r["user_id"]: (r["n"], r["v"]) for r in got_rows}
+    want = {r["user_id"]: (r["n"], round(r["v"], 4)) for r in
+            ev.groupBy("user_id")
+              .agg(F2.count("*").alias("n"), F2.sum("value").alias("v"))
+              .collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
