@@ -189,3 +189,44 @@ def test_ascii_fast_path_equivalence():
         got = _ascii_spans(text)
         want = numpy_spans(text)
         assert got == want, (text, got, want)
+
+
+def test_porter2_never_crashes_and_shrinks():
+    """Fuzz: the stemmer must be total over lowercase ASCII words."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from php_lucene_analyzer_spark.analysis.porter2 import porter2
+
+    @settings(max_examples=500)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", min_size=0,
+                   max_size=40))
+    def run(w):
+        s = porter2(w)
+        assert isinstance(s, str)
+        if len(w) > 2:
+            assert len(s) <= len(w) + 1  # step-1b may append one 'e'
+
+    run()
+
+
+def test_analyzer_handles_adversarial_inputs():
+    """Totality over hostile inputs: huge tokens, pure punctuation,
+    mixed-script soup, control chars, lone surrogates-adjacent chars."""
+    from php_lucene_analyzer_spark.analysis.chain import analyze_terms
+
+    cases = [
+        "x" * 100000,                      # one giant token (dropped: >255)
+        ("ab" * 300 + " ") * 50,           # many overlong tokens
+        "!@#$%^&*()" * 1000,
+        "\x00\x01\x02 abc \x7f",
+        "a" + "́" * 50 + "b",        # combining-mark pileup
+        "日本語とEnglishとрусский 混ざった text123",
+        "_ __ ___ a_ _a _1 1_",
+        "'''''' '" + "'s" * 100,
+    ]
+    for text in cases:
+        terms = analyze_terms(text)       # must not throw
+        assert all(isinstance(t, str) for t in terms)
+        toks = analyze(text)
+        assert all(t.pos_inc >= 0 for t in toks)

@@ -219,3 +219,41 @@ def test_wand_topk_many_matches_per_query(spark, index):
                             index["avgdl"], q).collect()]
         got = sorted(by_qid.get(qid, []), key=lambda t: (-t[1], t[0]))
         assert got == single, qid
+
+
+def test_high_vocabulary_corpus(spark):
+    """Vocabulary stress: ~30k unique identifiers over 3k docs (10 uniq/doc)
+    — exercises the sort/dedup paths that a tiny Zipf vocab hides."""
+    import hashlib
+
+    import pandas as pd
+
+    from php_lucene_analyzer_spark.operators.postings import (
+        corpus_stats_from_postings, index_corpus, term_dict_from_postings)
+    from php_lucene_analyzer_spark.operators.wand import wand_topk
+
+    def uid(i, j):
+        return "id" + hashlib.blake2b(f"{i}:{j}".encode(),
+                                      digest_size=6).hexdigest()
+
+    n = 3000
+    rows = [(i, " ".join(uid(i, j) for j in range(10)) + " shared anchor")
+            for i in range(n)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    postings = index_corpus(docs.repartitionByRange(6, "doc_id"),
+                            "doc_id", "text").cache()
+    tdict = term_dict_from_postings(postings).cache()
+    vocab = tdict.count()
+    assert vocab >= n * 10  # every unique id is a term
+    # dense sorted ids
+    import pyspark.sql.functions as F2
+    head = tdict.orderBy("term_id").limit(3).collect()
+    assert [r["term_id"] for r in head] == [1, 2, 3]
+    assert head[0]["term"] <= head[1]["term"] <= head[2]["term"]
+    # a rare unique token retrieves exactly its doc, ranked above anchors
+    avgdl = corpus_stats_from_postings(postings, n)
+    target = uid(1234, 5)
+    top = wand_topk(postings, tdict, n, avgdl,
+                    f"{target} anchor", k=3).collect()
+    assert top[0]["doc_id"] == 1234
