@@ -128,10 +128,15 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
         from ..analysis.chain import analyze_terms as terms_of
 
     def build(batches):
+        from array import array
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc: dict[str, tuple[list, list, list]] = {}
+        # array('q') accumulators: ~4x less memory than Python int lists
+        # (the per-partition working set is what pressures the DRAM bus
+        # under 32 workers — see BENCH/BASELINE.md scaling notes)
+        acc: dict[str, tuple] = {}
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             for did, text in zip(ids, pdf[text_col]):
@@ -140,7 +145,7 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
                 for t, tf in Counter(toks).items():
                     e = acc.get(t)
                     if e is None:
-                        e = acc[t] = ([], [], [])
+                        e = acc[t] = (array("q"), array("q"), array("q"))
                     e[0].append(did)
                     e[1].append(tf)
                     e[2].append(dl)
