@@ -1,22 +1,35 @@
-"""Positional postings + phrase matching.
+"""Positional postings + phrase matching — block-packed storage.
 
 The reference's chain defines token POSITIONS (pos_inc/pos_len graph,
-TokenStream.php attributes; stop filters leave holes, WDGF stacks parts)
-— this operator materializes them into a positional index so phrase
-queries evaluate with true Lucene position semantics (a stopword hole
-breaks exact adjacency, a WDGF part shares its original's position).
+/root/reference/src/analyses/TokenStream.php:16-22 attributes; stop
+filters leave holes, WDGF stacks parts) — this operator materializes them
+into a positional index so phrase queries evaluate with true Lucene
+position semantics (a stopword hole breaks exact adjacency, a WDGF part
+shares its original's position).
 
-Schema: one row per (term, doc) carrying a delta+VByte position blob,
-bucketed by the same doc-range ``rbucket`` scheme as the BM25 blocks
-(phrase evaluation groups by rbucket, so per-task work stays bounded).
-At 100 TB the rows pack into 128-doc blocks exactly like postings.py;
-the per-(term,doc) row form is kept here for clarity since phrase
-evaluation is doc-at-a-time anyway.
+Storage packs exactly like the BM25 blocks (postings.py): ONE row per
+(term, rbucket, ≤128-doc block), not one row per (term, doc) — at
+10^12-file scale a row per (term, doc) pair is ~10^11 rows of per-row
+parquet/shuffle overhead, while block rows cut that 128x and keep row
+sizes bounded.  Per block:
+
+    doc_blob  — delta-gap + VByte doc ids (gap reset at block start);
+    freq_blob — VByte per-doc position counts (the .pos "tf");
+    pos_blob  — VByte position gaps, delta RESET AT EACH DOC (first
+                position in a doc absolute) — Lucene's .pos layout, so a
+                block's positions split per doc by cumsum(freqs) without
+                any extra length table.
+
+Blocks split on doc boundaries, so a doc's positions never straddle
+blocks and every blob slices independently.  Phrase evaluation groups
+matched terms' blocks by the doc-range ``rbucket`` (same scheme as
+postings.py), so per-task work stays bounded by the build partition size
+regardless of term df.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
+from array import array
 
 import numpy as np
 import pandas as pd
@@ -24,38 +37,125 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..analysis import analyze
-from ..functions.codec import delta_decode, delta_encode, vbyte_decode, vbyte_encode
+from ..functions.codec import vbyte_decode, vbyte_encode_slices
 
-POS_SCHEMA = ("term string, rbucket long, doc_id long, tf int, "
-              "pos_blob binary")
+POS_BLOCK_SIZE = 128
+
+POS_SCHEMA = ("term string, rbucket long, block_no int, n int, "
+              "first_doc long, last_doc long, sum_tf long, "
+              "doc_blob binary, freq_blob binary, pos_blob binary")
+
+_COLS = ["term", "rbucket", "block_no", "n", "first_doc", "last_doc",
+         "sum_tf", "doc_blob", "freq_blob", "pos_blob"]
+
+
+def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
+                    docs: np.ndarray, freqs: np.ndarray, pos: np.ndarray,
+                    rbucket: int) -> pd.DataFrame:
+    """Vectorized block-row construction for a whole partition.
+
+    ``term_offsets``: len(terms)+1 offsets into ``docs``/``freqs`` (each
+    term's slice doc-ascending); ``pos``: flat positions, per-doc runs
+    ascending, doc boundaries at cumsum(freqs).  ONE VByte pass per blob
+    kind encodes everything (vbyte_encode_slices)."""
+    if docs.size == 0:
+        return pd.DataFrame(columns=_COLS)
+    counts = np.diff(term_offsets)
+    nblocks = (counts + POS_BLOCK_SIZE - 1) // POS_BLOCK_SIZE
+    term_idx = np.repeat(np.arange(len(terms)), nblocks)
+    block_no = np.concatenate([np.arange(b) for b in nblocks]) \
+        if len(terms) else np.empty(0, dtype=np.int64)
+    bstarts = term_offsets[term_idx] + block_no * POS_BLOCK_SIZE
+    bends = np.minimum(bstarts + POS_BLOCK_SIZE, term_offsets[term_idx + 1])
+    # doc gaps with reset at block starts (first doc absolute per block)
+    dgaps = docs.astype(np.uint64).copy()
+    dgaps[1:] -= docs[:-1].astype(np.uint64)
+    dgaps[bstarts] = docs[bstarts]
+    doc_blobs = vbyte_encode_slices(dgaps, bstarts)
+    freq_blobs = vbyte_encode_slices(freqs, bstarts)
+    # positions: gaps reset at each DOC start (Lucene .pos layout)
+    pdoc = np.concatenate(([0], np.cumsum(freqs))).astype(np.int64)
+    pgaps = pos.astype(np.uint64).copy()
+    pgaps[1:] -= pos[:-1].astype(np.uint64)
+    pgaps[pdoc[:-1]] = pos[pdoc[:-1]]
+    pos_blobs = vbyte_encode_slices(pgaps, pdoc[bstarts])
+    sum_tf = np.add.reduceat(freqs, bstarts)
+    return pd.DataFrame({
+        "term": np.asarray(terms, dtype=object)[term_idx],
+        "rbucket": np.full(bstarts.size, rbucket, dtype=np.int64),
+        "block_no": block_no.astype(np.int32),
+        "n": (bends - bstarts).astype(np.int32),
+        "first_doc": docs[bstarts].astype(np.int64),
+        "last_doc": docs[bends - 1].astype(np.int64),
+        "sum_tf": sum_tf.astype(np.int64),
+        "doc_blob": doc_blobs,
+        "freq_blob": freq_blobs,
+        "pos_blob": pos_blobs,
+    })
 
 
 def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
                         text_col: str = "content") -> DataFrame:
-    """Fused analyze (FULL chain, graph positions) -> positional rows.
-    Requires doc-range-partitioned input (with_doc_ids output)."""
+    """Fused analyze (FULL chain, graph positions) -> positional blocks.
+    Requires doc-range-partitioned input (with_doc_ids output) — same
+    segment model as postings.index_corpus: zero extra shuffle, heavy
+    terms split across all partitions."""
 
     def build(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows = []
+        # per-term accumulators: docs, per-doc counts, flat positions
+        acc: dict[str, tuple] = {}
         for pdf in batches:
             for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
                 pos = -1
-                acc: dict[str, list[int]] = defaultdict(list)
+                per_term: dict[str, list[int]] = {}
                 for t in analyze(text or ""):
                     pos += t.pos_inc
-                    acc[t.term].append(pos)
-                for term in sorted(acc):
-                    ps = np.asarray(sorted(set(acc[term])), dtype=np.uint64)
-                    rows.append((term, pid, int(did), int(ps.size),
-                                 vbyte_encode(delta_encode(ps))))
-        yield pd.DataFrame(rows, columns=["term", "rbucket", "doc_id",
-                                          "tf", "pos_blob"])
+                    per_term.setdefault(t.term, []).append(pos)
+                did = int(did)
+                for term, plist in per_term.items():
+                    ps = sorted(set(plist))
+                    e = acc.get(term)
+                    if e is None:
+                        e = acc[term] = (array("q"), array("q"), array("q"))
+                    e[0].append(did)
+                    e[1].append(len(ps))
+                    e[2].extend(ps)
+        terms = sorted(acc)
+        dsizes = np.array([len(acc[t][0]) for t in terms], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(dsizes)))
+        psizes = np.array([len(acc[t][2]) for t in terms], dtype=np.int64)
+        poffs = np.concatenate(([0], np.cumsum(psizes)))
+        docs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
+        freqs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
+        pos_a = np.empty(int(poffs[-1]), dtype=np.uint64)
+        for i, term in enumerate(terms):
+            d, f, p = acc[term]
+            docs_a[offsets[i]:offsets[i + 1]] = d
+            freqs_a[offsets[i]:offsets[i + 1]] = f
+            pos_a[poffs[i]:poffs[i + 1]] = p
+        yield _pos_block_rows(terms, offsets, docs_a, freqs_a, pos_a, pid)
 
     return docs_with_ids.select(id_col, text_col).mapInPandas(
         build, schema=POS_SCHEMA)
+
+
+def _decode_block(doc_blob: bytes, freq_blob: bytes,
+                  pos_blob: bytes) -> tuple[np.ndarray, np.ndarray, list]:
+    """-> (docs, freqs, per-doc absolute position arrays)."""
+    docs = np.cumsum(vbyte_decode(doc_blob), dtype=np.uint64).astype(np.int64)
+    freqs = vbyte_decode(freq_blob).astype(np.int64)
+    gaps = vbyte_decode(pos_blob)
+    starts = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(np.int64)
+    # absolute positions from per-doc-reset gaps: global cumsum, then
+    # subtract each doc's carry-in (the cumsum just before its start)
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    carry = np.zeros(len(starts), dtype=np.uint64)
+    carry[1:] = cs[starts[1:] - 1]
+    abs_pos = (cs - np.repeat(carry, freqs)).astype(np.int64)
+    return docs, freqs, np.split(abs_pos, np.cumsum(freqs)[:-1])
 
 
 def _phrase_terms(phrase: str) -> list[tuple[str, int]]:
@@ -76,9 +176,9 @@ def _phrase_terms(phrase: str) -> list[tuple[str, int]]:
 def phrase_match(pos_postings: DataFrame, phrase: str) -> DataFrame:
     """Docs containing the exact phrase -> (doc_id, n_matches).
 
-    Per rbucket: intersect the phrase terms' doc sets, then verify
-    position alignment (p_i - p_0 == gap_i for some start p_0) with
-    NumPy set intersections over decoded position arrays.
+    Per rbucket: decode the phrase terms' blocks, intersect doc sets,
+    then verify position alignment (p_i - p_0 == gap_i for some start
+    p_0) with NumPy set intersections over the per-doc position arrays.
     """
     spark = pos_postings.sparkSession
     terms = _phrase_terms(phrase)
@@ -91,9 +191,14 @@ def phrase_match(pos_postings: DataFrame, phrase: str) -> DataFrame:
     def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term: dict[str, dict[int, np.ndarray]] = {}
         for term, g in pdf.groupby("term"):
-            per_term[term] = {
-                int(d): delta_decode(vbyte_decode(b)).astype(np.int64)
-                for d, b in zip(g["doc_id"], g["pos_blob"])}
+            dmap: dict[int, np.ndarray] = {}
+            g = g.sort_values("block_no")
+            for db, fb, pb in zip(g["doc_blob"], g["freq_blob"],
+                                  g["pos_blob"]):
+                docs, _, plists = _decode_block(db, fb, pb)
+                for d, pl in zip(docs, plists):
+                    dmap[int(d)] = pl
+            per_term[term] = dmap
         first = per_term.get(term_list[0], {})
         out = []
         for doc, starts in first.items():

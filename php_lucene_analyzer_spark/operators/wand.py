@@ -45,7 +45,7 @@ class _TermCursor:
 
     __slots__ = ("idf", "ub", "first", "last", "max_tf", "min_dl", "blobs",
                  "tf_blobs", "dl_blobs", "bi", "wi", "docs", "tfs", "dls",
-                 "cur", "k1", "b", "avgdl", "_bb")
+                 "cur", "k1", "b", "avgdl", "_bb", "_ub_suffix")
 
     def __init__(self, idf: float, rows: pd.DataFrame, avgdl: float,
                  k1: float, b: float):
@@ -62,7 +62,13 @@ class _TermCursor:
         # per-block upper bounds: idf·(k1+1)·impact(max_tf, min_dl)
         self._bb = (idf * (k1 + 1.0) * self.max_tf
                     / (self.max_tf + k1 * (1.0 - b + b * self.min_dl / avgdl)))
-        self.ub = float(self._bb.max()) if len(rows) else 0.0
+        # suffix max of the per-block bounds: ub tightens to "max over
+        # blocks not yet passed" as the cursor advances (sharper pivots on
+        # mid-frequency terms whose hottest block sits early) — still a
+        # valid bound for every doc >= cur, so results stay bit-identical
+        self._ub_suffix = (np.maximum.accumulate(self._bb[::-1])[::-1]
+                           if len(rows) else self._bb)
+        self.ub = float(self._ub_suffix[0]) if len(rows) else 0.0
         self.bi = -1
         self.docs = self.tfs = self.dls = None
         self.wi = 0
@@ -71,6 +77,7 @@ class _TermCursor:
 
     def _load(self, bi: int) -> None:
         self.bi = bi
+        self.ub = float(self._ub_suffix[bi])
         self.docs = delta_decode(vbyte_decode(self.blobs[bi])).astype(np.int64)
         self.tfs = vbyte_decode(self.tf_blobs[bi]).astype(np.float64)
         self.dls = vbyte_decode(self.dl_blobs[bi]).astype(np.float64)

@@ -64,3 +64,48 @@ def test_stopword_hole_semantics(spark, pos_index, docs):
     assert [t for t, _ in terms] == ["spark", "stream"]
     gaps = [p for _, p in terms]
     assert gaps[1] - gaps[0] == 1
+
+
+def test_pos_block_roundtrip_multiblock():
+    """Packed positional blocks round-trip exactly across block
+    boundaries: >128 docs per term (multi-block), per-doc gap reset,
+    carry-in decode, and blob slicing on doc boundaries."""
+    import numpy as np
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        POS_BLOCK_SIZE, _decode_block, _pos_block_rows)
+
+    rng = np.random.default_rng(7)
+    terms = ["alpha", "beta"]
+    want: dict[str, dict[int, list[int]]] = {}
+    docs_l, freqs_l, pos_l, offsets = [], [], [], [0]
+    for term in terms:
+        n_docs = POS_BLOCK_SIZE * 2 + 37   # 3 blocks, last partial
+        dids = np.sort(rng.choice(10**6, size=n_docs, replace=False))
+        want[term] = {}
+        for d in dids:
+            k = int(rng.integers(1, 6))
+            ps = np.sort(rng.choice(5000, size=k, replace=False))
+            want[term][int(d)] = ps.tolist()
+            docs_l.append(int(d))
+            freqs_l.append(k)
+            pos_l.extend(ps.tolist())
+        offsets.append(len(docs_l))
+    pdf = _pos_block_rows(
+        terms, np.asarray(offsets, dtype=np.int64),
+        np.asarray(docs_l, dtype=np.uint64),
+        np.asarray(freqs_l, dtype=np.uint64),
+        np.asarray(pos_l, dtype=np.uint64), rbucket=0)
+    assert set(pdf["term"]) == set(terms)
+    assert (pdf.groupby("term")["block_no"].count() == 3).all()
+    got: dict[str, dict[int, list[int]]] = {t: {} for t in terms}
+    for _, row in pdf.iterrows():
+        docs, freqs, plists = _decode_block(
+            row["doc_blob"], row["freq_blob"], row["pos_blob"])
+        assert int(docs[0]) == row["first_doc"]
+        assert int(docs[-1]) == row["last_doc"]
+        assert len(docs) == row["n"] == len(freqs) == len(plists)
+        assert int(freqs.sum()) == row["sum_tf"]
+        for d, pl in zip(docs, plists):
+            got[row["term"]][int(d)] = pl.tolist()
+    assert got == want
