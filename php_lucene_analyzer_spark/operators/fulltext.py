@@ -28,33 +28,43 @@ K1 = 1.2
 B = 0.75
 
 
-def with_doc_ids(docs: DataFrame, order_cols: list[str],
-                 partitions: int | None = None) -> DataFrame:
-    """Dense, deterministic int64 ``doc_id`` = global rank of ``order_cols``.
+def dense_rank_ids(df: DataFrame, order_cols: list[str], id_col: str,
+                   partitions: int | None = None, start: int = 0) -> DataFrame:
+    """Dense, deterministic int64 ``id_col`` = ``start`` + global rank of
+    ``order_cols`` (which must be a unique key).
 
     Two-phase: range-partition + local sort, count per partition, prefix-sum
     offsets (driver-side over #partitions integers), then offset + local
     row_number.  Equivalent to row_number() over a global window but without
-    the single-partition bottleneck — the SURVEY.md §2-C "DocID assignment"
-    operator.  ``order_cols`` must be a unique key for determinism.
+    the single-partition bottleneck — safe at any cardinality (doc ids over
+    10^12 docs, term ids over 10^9-term vocabularies alike).  Deterministic
+    at any parallelism because ids depend only on the key's global rank,
+    never on partition boundaries.
     """
-    spark = docs.sparkSession
+    spark = df.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
-    ranged = docs.repartitionByRange(n_part, *order_cols) \
-                 .withColumn("_pid", F.spark_partition_id()) \
-                 .withColumn("_rn", F.row_number().over(
-                     Window.partitionBy("_pid").orderBy(*order_cols)))
+    ranged = df.repartitionByRange(n_part, *order_cols) \
+               .withColumn("_pid", F.spark_partition_id()) \
+               .withColumn("_rn", F.row_number().over(
+                   Window.partitionBy("_pid").orderBy(*order_cols)))
     ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
     counts = ranged.groupBy("_pid").count().collect()
-    offsets, acc = [], 0
+    offsets, acc = [], start
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((row["_pid"], acc))
         acc += row["count"]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    off_df = spark.createDataFrame(offsets or [(0, start)], "_pid int, _off long")
     return (ranged.join(F.broadcast(off_df), "_pid", "left")
-            .withColumn("doc_id",
-                        (F.col("_rn") - 1 + F.coalesce("_off", F.lit(0))).cast("long"))
+            .withColumn(id_col,
+                        (F.col("_rn") - 1 + F.coalesce("_off", F.lit(start))).cast("long"))
             .drop("_pid", "_rn", "_off"))
+
+
+def with_doc_ids(docs: DataFrame, order_cols: list[str],
+                 partitions: int | None = None) -> DataFrame:
+    """Dense, deterministic int64 ``doc_id`` = global rank of ``order_cols``
+    — the SURVEY.md §2-C "DocID assignment" operator (see dense_rank_ids)."""
+    return dense_rank_ids(docs, order_cols, "doc_id", partitions)
 
 
 def term_doc_freqs(docs: DataFrame, id_col: str = "doc_id",
@@ -129,14 +139,12 @@ def term_stats(tdf: DataFrame) -> DataFrame:
 
 
 def term_dict(tstats: DataFrame) -> DataFrame:
-    """Sorted term dictionary with dense ids (the FST's role, SURVEY §1.4).
-
-    A global orderBy window is fine at vocab scale (vocabulary ≪ corpus:
-    even 10^12 docs of code yield ~10^8-10^9 distinct terms, and the dict
-    is built once); stored sorted so prefix/range queries prune by min/max.
-    """
-    w = Window.orderBy("term")
-    return tstats.withColumn("term_id", F.row_number().over(w).cast("long"))
+    """Sorted term dictionary with dense 1-based ids (the FST's role,
+    SURVEY §1.4) via the same two-phase range-rank as doc ids — a
+    10^8-10^9-term code vocabulary never funnels through one partition
+    (a global orderBy window would); stored sorted so prefix/range
+    queries prune by min/max."""
+    return dense_rank_ids(tstats, ["term"], "term_id", start=1)
 
 
 def idf(n_docs: int, df: int) -> float:

@@ -45,7 +45,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 BLOCK_SIZE = 128
@@ -209,10 +209,11 @@ def term_stats_from_postings(postings: DataFrame) -> DataFrame:
 
 
 def term_dict_from_postings(postings: DataFrame) -> DataFrame:
-    """Sorted term dictionary with dense ids (the FST role, SURVEY §1.4)."""
-    w = Window.orderBy("term")
-    return term_stats_from_postings(postings).withColumn(
-        "term_id", F.row_number().over(w).cast("long"))
+    """Sorted term dictionary with dense ids (the FST role, SURVEY §1.4).
+    Two-phase range rank — no single-partition window at vocab scale."""
+    from .fulltext import dense_rank_ids
+    return dense_rank_ids(
+        term_stats_from_postings(postings), ["term"], "term_id", start=1)
 
 
 def corpus_stats_from_postings(postings: DataFrame, n_docs: int) -> float:

@@ -84,9 +84,31 @@ class _TermCursor:
         self.wi = 0
         self.cur = int(self.docs[0])
 
+    def _set_block_lazy(self, bi: int) -> None:
+        """Position at a block's first doc WITHOUT decoding its blobs —
+        (first_doc, last_doc, block bound) metadata is enough for pivot
+        selection and block-max skipping; the VByte decode happens only
+        if a doc inside the block is actually evaluated (two-level skip:
+        metadata level vs decoded level)."""
+        self.bi = bi
+        self.ub = float(self._ub_suffix[bi])
+        self.docs = self.tfs = self.dls = None
+        self.wi = 0
+        self.cur = int(self.first[bi])
+
+    def _ensure_loaded(self) -> None:
+        if self.docs is None:
+            bi = self.bi
+            self.docs = delta_decode(
+                vbyte_decode(self.blobs[bi])).astype(np.int64)
+            self.tfs = vbyte_decode(self.tf_blobs[bi]).astype(np.float64)
+            self.dls = vbyte_decode(self.dl_blobs[bi]).astype(np.float64)
+            # lazily positioned cursors always sit at the block start
+            # (wi == 0, cur == first_doc == docs[0])
+
     def _next_block(self) -> None:
         if self.bi + 1 < len(self.blobs):
-            self._load(self.bi + 1)
+            self._set_block_lazy(self.bi + 1)
         else:
             self.cur = _EXHAUSTED
 
@@ -109,7 +131,14 @@ class _TermCursor:
             if nb >= len(self.blobs):
                 self.cur = _EXHAUSTED
                 return
+            if int(self.first[nb]) >= target:
+                # lands on/before the block's first doc: metadata is
+                # enough — skip the decode entirely
+                self._set_block_lazy(nb)
+                return
             self._load(nb)
+        else:
+            self._ensure_loaded()
         self.wi = int(np.searchsorted(self.docs, target, side="left"))
         if self.wi >= self.docs.size:
             self._next_block()
@@ -119,12 +148,14 @@ class _TermCursor:
             self.cur = int(self.docs[self.wi])
 
     def score_current(self) -> float:
+        self._ensure_loaded()
         tf = self.tfs[self.wi]
         dl = self.dls[self.wi]
         return (self.idf * (tf * (self.k1 + 1.0))
                 / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)))
 
     def step(self) -> None:
+        self._ensure_loaded()
         self.wi += 1
         if self.wi >= self.docs.size:
             self._next_block()

@@ -257,3 +257,41 @@ def test_high_vocabulary_corpus(spark):
     top = wand_topk(postings, tdict, n, avgdl,
                     f"{target} anchor", k=3).collect()
     assert top[0]["doc_id"] == 1234
+
+
+def test_wand_cursor_lazy_block_decode(monkeypatch):
+    """The two-level skip contract: a cursor constructed over many blocks
+    decodes NOTHING until a doc inside a block is actually evaluated, and
+    advance_to that lands on a block's first doc stays metadata-only."""
+    import numpy as np
+
+    import php_lucene_analyzer_spark.operators.wand as W
+    from php_lucene_analyzer_spark.operators.postings import _block_rows
+
+    calls = {"n": 0}
+    orig = W.vbyte_decode
+
+    def counting(buf):
+        calls["n"] += 1
+        return orig(buf)
+
+    monkeypatch.setattr(W, "vbyte_decode", counting)
+
+    n = 128 * 4  # 4 full blocks, consecutive doc ids
+    docs = np.arange(n, dtype=np.uint64)
+    tfs = np.full(n, 2, dtype=np.uint64)
+    dls = np.full(n, 50, dtype=np.uint64)
+    pdf = _block_rows(["t"], np.array([0, n], dtype=np.int64),
+                      docs, tfs, dls, rbucket=0)
+    assert len(pdf) == 4
+
+    cur = W._TermCursor(1.0, pdf, avgdl=50.0, k1=1.2, b=0.75)
+    assert calls["n"] == 0 and cur.cur == 0     # construction: no decode
+    cur.advance_to(128 * 3)                      # lands on block 3's first
+    assert calls["n"] == 0 and cur.cur == 128 * 3
+    s = cur.score_current()                      # NOW block 3 decodes
+    assert s > 0 and calls["n"] == 3             # doc+tf+dl blobs, once
+    cur.advance_to(128 * 3 + 7)                  # within the same block
+    assert calls["n"] == 3 and cur.cur == 128 * 3 + 7
+    cur.advance_to(60)                           # backwards: no-op
+    assert cur.cur == 128 * 3 + 7
