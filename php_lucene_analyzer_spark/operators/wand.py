@@ -39,6 +39,21 @@ from .fulltext import B, K1, idf as bm25_idf
 
 _EXHAUSTED = 1 << 62
 
+# term-set predicates switch from an isin literal (pushed into the parquet
+# scan) to a broadcast semi-join past this size: a 10^4-term IN-list bloats
+# the plan/task binaries and stops being pushable, while a broadcast hash
+# semi-join stays O(set) per task — the serving path for large batched
+# query sets (and prefix expansions) over a 10^9-term vocabulary
+_ISIN_MAX = 512
+
+
+def _filter_terms(df: DataFrame, terms: list[str]) -> DataFrame:
+    if len(terms) <= _ISIN_MAX:
+        return df.filter(F.col("term").isin(list(terms)))
+    tdf = df.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string")
+    return df.join(F.broadcast(tdf), "term", "left_semi")
+
 
 class _TermCursor:
     """Doc-ordered cursor over one term's block rows (decode-on-demand)."""
@@ -316,8 +331,7 @@ def wand_topk_many(postings: DataFrame, tstats: DataFrame, n_docs: int,
     if not all_terms:
         return spark.createDataFrame([], "qid string, doc_id long, score double")
     dfs = {r["term"]: int(r["df"]) for r in
-           tstats.filter(F.col("term").isin(all_terms))
-           .select("term", "df").collect()}
+           _filter_terms(tstats, all_terms).select("term", "df").collect()}
     metas = {qid: [(t, bm25_idf(n_docs, dfs[t])) for t in ts if t in dfs]
              for qid, ts in per_q.items()}
     metas = {qid: m for qid, m in metas.items() if m}
@@ -332,8 +346,8 @@ def wand_topk_many(postings: DataFrame, tstats: DataFrame, n_docs: int,
             outs.append(r)
         return pd.concat(outs, ignore_index=True)
 
-    matched = postings.filter(
-        F.col("term").isin([t for m in metas.values() for t, _ in m]))
+    matched = _filter_terms(
+        postings, sorted({t for m in metas.values() for t, _ in m}))
     local = matched.groupBy("rbucket").applyInPandas(
         bucket, schema="qid string, doc_id long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -367,13 +381,13 @@ def wand_topk_terms(postings: DataFrame, tstats: DataFrame, n_docs: int,
     spark = postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta_rows = (tstats.filter(F.col("term").isin(list(terms)))
+    meta_rows = (_filter_terms(tstats, list(terms))
                  .select("term", "df").orderBy("term").collect())
     if not meta_rows:
         return spark.createDataFrame([], "doc_id long, score double")
     term_meta = [(r["term"], bm25_idf(n_docs, r["df"])) for r in meta_rows]
     qterms = [t for t, _ in term_meta]
-    matched = postings.filter(F.col("term").isin(qterms))  # pushed to scan
+    matched = _filter_terms(postings, qterms)  # pushed to scan / semi-join
     local = matched.groupBy("rbucket").applyInPandas(
         lambda pdf: _wand_bucket(pdf, term_meta, k, avgdl, k1, b),
         schema="doc_id long, score double")

@@ -125,3 +125,37 @@ def test_longest_only_mode():
     d = load(AFF, [DIC])
     st = Stemmer(d, longest_only=True)
     assert st.unique_stems("creating") == ["create"]
+
+
+# --- parity against the reference's REAL shipped dictionary (data
+# fixture, read-only: /root/reference/src/analyses/hunspell/dicts/,
+# the same files Dictionary.php:171-244 parses) ---
+
+import os
+
+import pytest
+
+_REF_DICTS = "/root/reference/src/analyses/hunspell/dicts"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DICTS),
+                    reason="reference checkout not present")
+def test_real_en_us_dictionary_loads_and_stems():
+    aff = open(f"{_REF_DICTS}/en_US.aff", encoding="latin-1").read()
+    dic = open(f"{_REF_DICTS}/en_US.dic", encoding="latin-1").read()
+    d = load(aff, [dic])
+    # the .dic header declares 48307 entries (SURVEY §5 records the same)
+    assert len(d.words) == 48307
+    st = Stemmer(d)
+    # affix classes actually exercised: S (plural), D (-ed), Y (-ly),
+    # prefix/suffix interplay, and dictionary-word identity
+    assert st.unique_stems("cats") == ["cat"]
+    assert st.unique_stems("cities") == ["city"]
+    assert st.unique_stems("walked") == ["walk"]
+    assert st.unique_stems("created") == ["create"]
+    assert st.unique_stems("quickly") == ["quick"]
+    assert "drink" in st.unique_stems("drinkable")
+    # a dictionary word is its own (only) stem
+    assert st.unique_stems("cat") == ["cat"]
+    # unknown gibberish stems to nothing
+    assert st.unique_stems("zzzqqqxxx") == []

@@ -295,3 +295,18 @@ def test_wand_cursor_lazy_block_decode(monkeypatch):
     assert calls["n"] == 3 and cur.cur == 128 * 3 + 7
     cur.advance_to(60)                           # backwards: no-op
     assert cur.cur == 128 * 3 + 7
+
+
+def test_wand_semijoin_term_fetch_identical(spark, index, monkeypatch):
+    """Past _ISIN_MAX the term predicate becomes a broadcast semi-join
+    (large batched query sets / prefix expansions) — results must be
+    bit-identical to the isin path."""
+    import php_lucene_analyzer_spark.operators.wand as W
+
+    postings, tstats = index["postings"], index["tstats"]
+    n, avgdl = index["n"], index["avgdl"]
+    q = "stream merge join window"
+    want = wand_topk(postings, tstats, n, avgdl, q, k=10).collect()
+    monkeypatch.setattr(W, "_ISIN_MAX", 0)
+    got = W.wand_topk(postings, tstats, n, avgdl, q, k=10).collect()
+    assert got == want and len(got) > 0
