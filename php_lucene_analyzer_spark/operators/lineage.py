@@ -44,10 +44,11 @@ LINEAGE_SCHEMA = ("chunk int, first_doc long, last_doc long, n_docs long, "
 
 class ResumableIndexBuild:
     def __init__(self, spark: SparkSession, workdir: str,
-                 chunk_docs: int = 1 << 20):
+                 chunk_docs: int = 1 << 20, text_col: str = "content"):
         self.spark = spark
         self.workdir = workdir
         self.chunk_docs = chunk_docs
+        self.text_col = text_col
         self.ids_path = os.path.join(workdir, "docs_with_ids")
         self.postings_path = os.path.join(workdir, "postings")
         self.lineage_path = os.path.join(workdir, "lineage")
@@ -96,7 +97,8 @@ class ResumableIndexBuild:
             part = ids.filter((F.col("doc_id") >= lo)
                               & (F.col("doc_id") < hi))
             out = os.path.join(self.postings_path, f"chunk={chunk}")
-            index_corpus(part, "doc_id", "content") \
+            index_corpus(part, "doc_id", self.text_col,
+                         rbucket_base=chunk << 20) \
                 .write.mode("overwrite").parquet(out)
             stats = self.spark.read.parquet(out).agg(
                 F.count("*").alias("rows"),

@@ -110,7 +110,8 @@ def _block_rows(terms: list[str], term_offsets: np.ndarray,
 
 
 def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "content", analyzer=None) -> DataFrame:
+                 text_col: str = "content", analyzer=None,
+                 rbucket_base: int = 0) -> DataFrame:
     """Fused analyze + posting-block build, one pass, zero extra shuffle.
 
     ``docs_with_ids`` must be partitioned into disjoint doc_id ranges
@@ -121,6 +122,12 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
     ``analyzer``: optional analysis.analyzers.Analyzer (custom chain —
     hunspell/morphology stemmers, char maps, custom stop sets); defaults
     to the reference flagship chain.  Queries must use the same analyzer.
+
+    ``rbucket_base``: offset added to the partition id — multi-segment
+    builders (chunked/resumable, streaming epochs) pass a per-segment
+    base so rbuckets stay globally unique (better bucket balance at query
+    time; correctness never depends on it since WAND orders blocks by
+    first_doc).
     """
     if analyzer is not None:
         terms_of = analyzer.terms
@@ -132,7 +139,7 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        pid = rbucket_base + TaskContext.get().partitionId()
         # array('q') accumulators: ~4x less memory than Python int lists
         # (the per-partition working set is what pressures the DRAM bus
         # under 32 workers — see BENCH/BASELINE.md scaling notes)

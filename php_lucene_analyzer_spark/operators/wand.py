@@ -64,7 +64,11 @@ class _TermCursor:
 
     def __init__(self, idf: float, rows: pd.DataFrame, avgdl: float,
                  k1: float, b: float):
-        rows = rows.sort_values(["rbucket", "block_no"])
+        # blocks of one term are doc-disjoint by construction (source
+        # partitions/chunks cover disjoint doc ranges), so first_doc IS
+        # the global doc order — robust even when two index chunks reuse
+        # the same rbucket numbering (chunked/resumed builds)
+        rows = rows.sort_values("first_doc")
         self.idf = idf
         self.first = rows["first_doc"].to_numpy()
         self.last = rows["last_doc"].to_numpy()
@@ -196,7 +200,7 @@ def _score_bucket_vectorized(pdf: pd.DataFrame,
         rows = pdf[pdf["term"] == term]
         if not len(rows):
             continue
-        rows = rows.sort_values(["rbucket", "block_no"])
+        rows = rows.sort_values("first_doc")
         docs = np.concatenate([
             delta_decode(vbyte_decode(bl)).astype(np.int64)
             for bl in rows["doc_blob"]])

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: BM25 top-k serving over an index built by
+scripts/build_index.py.
+
+    spark-submit --py-files plas.zip scripts/query_index.py \
+        --workdir /path/to/index [-k 10] "query one" "query two" ...
+
+All queries evaluate in ONE Spark job (wand_topk_many); prints one JSON
+line per query: {"query": ..., "hits": [[doc_id, score], ...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.appName("plas-query-index")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    from php_lucene_analyzer_spark.operators.postings import (
+        term_stats_from_postings)
+    from php_lucene_analyzer_spark.operators.wand import wand_topk_many
+
+    with open(os.path.join(args.workdir, "stats.json")) as f:
+        stats = json.load(f)
+    postings = spark.read.option(
+        "basePath", os.path.join(args.workdir, "postings")).parquet(
+        os.path.join(args.workdir, "postings", "chunk=*"))
+    tstats = term_stats_from_postings(postings)
+
+    qmap = {str(i): q for i, q in enumerate(args.queries)}
+    rows = wand_topk_many(postings, tstats, stats["n_docs"],
+                          stats["avgdl"], qmap, k=args.k).collect()
+    by_q: dict[str, list] = {qid: [] for qid in qmap}
+    for r in rows:
+        by_q[r["qid"]].append((r["doc_id"], r["score"]))
+    for i in sorted(by_q, key=int):
+        hits = sorted(by_q[i], key=lambda t: (-t[1], t[0]))
+        print(json.dumps({"query": qmap[i], "hits": hits}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

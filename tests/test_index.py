@@ -310,3 +310,63 @@ def test_wand_semijoin_term_fetch_identical(spark, index, monkeypatch):
     monkeypatch.setattr(W, "_ISIN_MAX", 0)
     got = W.wand_topk(postings, tstats, n, avgdl, q, k=10).collect()
     assert got == want and len(got) > 0
+
+
+def test_chunked_resumable_index_wand_matches_exhaustive(spark, tmp_path):
+    """WAND over a chunked (resumable) index == exhaustive DataFrame
+    scorer — guards the cross-chunk block ordering (chunks are separate
+    index_corpus runs whose rbucket numbering is only globally unique by
+    convention; correctness must not depend on it)."""
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+    from php_lucene_analyzer_spark.operators.lineage import (
+        ResumableIndexBuild)
+    from php_lucene_analyzer_spark.operators.postings import (
+        corpus_stats_from_postings, term_stats_from_postings)
+
+    docs = synthetic_corpus(spark, 400, partitions=4)
+    build = ResumableIndexBuild(spark, str(tmp_path / "idx"),
+                                chunk_docs=100)
+    postings = build.run(docs, ["repo", "path"]).cache()
+    assert postings.select("chunk").distinct().count() == 4  # multi-chunk
+    ids = spark.read.parquet(build.ids_path).cache()
+    tdf = ft.term_doc_freqs(ids, "doc_id", "content").cache()
+    n, avgdl = ft.corpus_stats(tdf)
+    tstats = term_stats_from_postings(postings)
+    for q in ("parseToken buildIndex", "merge stream", "index"):
+        got = wand_topk(postings, tstats, n, avgdl, q, k=10).collect()
+        want = ft.bm25_topk(tdf, ft.term_stats(tdf), n, avgdl, q,
+                            k=10).collect()
+        assert got == want and got
+
+
+def test_colliding_rbuckets_still_correct(spark):
+    """Two doc-disjoint segments indexed with the SAME rbucket numbering
+    (the pre-fix chunked layout): WAND must still equal the exhaustive
+    scorer because cursors order blocks by first_doc, not rbucket."""
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+    from php_lucene_analyzer_spark.operators.postings import (
+        term_stats_from_postings)
+
+    docs = synthetic_corpus(spark, 300, partitions=3)
+    ids = ft.with_doc_ids(docs, ["repo", "path"]).cache()
+    lo = ids.filter("doc_id < 150").repartitionByRange(2, "doc_id")
+    hi = ids.filter("doc_id >= 150").repartitionByRange(2, "doc_id")
+    # materialize each segment on its own so TaskContext partition ids
+    # restart at 0 for both (a union would renumber across legs)
+    p_lo = index_corpus(lo, "doc_id", "content").cache()
+    p_hi = index_corpus(hi, "doc_id", "content").cache()
+    p_lo.count(), p_hi.count()
+    p = p_lo.union(p_hi).cache()
+    # the collision actually exists: some rbucket spans both halves
+    spans = (p.groupBy("rbucket")
+             .agg(F.min("first_doc").alias("lo"), F.max("last_doc").alias("hi"))
+             .collect())
+    assert any(r["lo"] < 150 <= r["hi"] for r in spans)
+    tdf = ft.term_doc_freqs(ids, "doc_id", "content").cache()
+    n, avgdl = ft.corpus_stats(tdf)
+    tstats = term_stats_from_postings(p)
+    for q in ("parseToken buildIndex", "merge stream"):
+        got = wand_topk(p, tstats, n, avgdl, q, k=10).collect()
+        want = ft.bm25_topk(tdf, ft.term_stats(tdf), n, avgdl, q,
+                            k=10).collect()
+        assert got == want and got

@@ -1,0 +1,109 @@
+"""spark-submit --py-files integration (north rule: the build/query jobs
+must launch via spark-submit with the package shipped as a zip).
+
+Drives the REAL binary end-to-end on sf0.001: package zip -> build job
+(chunked + lineage) -> idempotent re-run (resume finds nothing to do) ->
+query job, whose hits must equal the in-process WAND over the same
+on-disk index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+pytestmark = pytest.mark.skipif(
+    SPARK_SUBMIT is None or not os.path.isdir(SF_DIR),
+    reason="spark-submit or sf0.001 testdata not available")
+
+
+def _submit(*argv: str, env_extra: dict | None = None) -> str:
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    if env_extra:
+        env.update(env_extra)
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4", *argv],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-4000:]
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def pyfiles_zip(tmp_path_factory):
+    base = tmp_path_factory.mktemp("pyfiles") / "plas"
+    return shutil.make_archive(
+        str(base), "zip", root_dir=REPO, base_dir="php_lucene_analyzer_spark")
+
+
+@pytest.fixture(scope="module")
+def built_index(pyfiles_zip, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("submitidx") / "idx")
+    docs = os.path.join(SF_DIR, "documents.parquet")
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "build_index.py"),
+                  "--input", docs, "--workdir", workdir,
+                  "--order-cols", "doc_id", "--text-col", "text",
+                  "--chunk-docs", "200")
+    summary = json.loads(out.strip().splitlines()[-1])
+    return workdir, summary
+
+
+def test_build_via_spark_submit(built_index):
+    workdir, summary = built_index
+    assert summary["n_docs"] > 0 and summary["n_terms"] > 0
+    assert len(summary["chunks"]) >= 2          # chunked, not monolithic
+    assert os.path.exists(os.path.join(workdir, "stats.json"))
+    assert os.path.isdir(os.path.join(workdir, "lineage"))
+
+
+def test_rerun_is_resume_noop(built_index, pyfiles_zip):
+    workdir, summary = built_index
+    docs = os.path.join(SF_DIR, "documents.parquet")
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "build_index.py"),
+                  "--input", docs, "--workdir", workdir,
+                  "--order-cols", "doc_id", "--text-col", "text",
+                  "--chunk-docs", "200")
+    again = json.loads(out.strip().splitlines()[-1])
+    # identical chunk set and corpus stats; lineage has no duplicates
+    assert again["chunks"] == summary["chunks"]
+    assert again["n_docs"] == summary["n_docs"]
+    assert again["n_terms"] == summary["n_terms"]
+
+
+def test_query_via_spark_submit_matches_inprocess(built_index, pyfiles_zip,
+                                                  spark):
+    workdir, _ = built_index
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "query_index.py"),
+                  "--workdir", workdir, "-k", "5",
+                  "merge join", "stream window")
+    lines = [json.loads(l) for l in out.strip().splitlines()
+             if l.startswith("{")]
+    got = {d["query"]: [tuple(h) for h in d["hits"]] for d in lines}
+
+    from php_lucene_analyzer_spark.operators.postings import (
+        term_stats_from_postings)
+    from php_lucene_analyzer_spark.operators.wand import wand_topk
+
+    stats = json.load(open(os.path.join(workdir, "stats.json")))
+    postings = spark.read.option(
+        "basePath", os.path.join(workdir, "postings")).parquet(
+        os.path.join(workdir, "postings", "chunk=*"))
+    tstats = term_stats_from_postings(postings).cache()
+    for q in ("merge join", "stream window"):
+        want = [(r["doc_id"], r["score"]) for r in
+                wand_topk(postings, tstats, stats["n_docs"],
+                          stats["avgdl"], q, k=5).collect()]
+        assert got[q] == want and want
