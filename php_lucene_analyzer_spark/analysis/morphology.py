@@ -181,6 +181,138 @@ class Morphology:
         return cls([w[::-1] for w in seps], rules, codec)
 
 
+# ------------------------------------------ morph.info (reference format)
+
+_SUFFIX_LEN = 6  # letters per encoded block (SUFFIX_LENGTH)
+
+
+def _en_encode_block(s: str) -> int:
+    """EnglishLetterDecoderEncoder::encode (english/
+    EnglishLetterDecoderEncoder.php:24-45): a->1..z->26, '-'->27,
+    base-28 polynomial ZERO-PADDED to 6 chars — fixed width makes int
+    comparison == padded lexicographic comparison."""
+    r = 0
+    for ch in s:
+        c = 27 if ch == "-" else ord(ch) - 96
+        if c < 1 or c > 27:
+            raise ValueError(f"not a small english letter: {ch!r}")
+        r = r * 28 + c
+    for _ in range(len(s), _SUFFIX_LEN):
+        r *= 28
+    return r
+
+
+def en_encode_to_array(s: str) -> tuple[int, ...]:
+    """encodeToArray (:47-57): 6-char blocks, last one padded."""
+    out = []
+    while len(s) > _SUFFIX_LEN:
+        out.append(_en_encode_block(s[:_SUFFIX_LEN]))
+        s = s[_SUFFIX_LEN:]
+    out.append(_en_encode_block(s))
+    return tuple(out)
+
+
+class MorphInfoModel:
+    """Deserializer + exact lookup for the reference's shipped morph.info
+    model (english/morph.info, 55 457 separators).
+
+    Mirrors Morphology.php line by line: the text layout read by
+    readFromInputStream (:187-247 — separator int-arrays, rulesId, rules
+    as "suffixLen|suffix|formInfo|normalInfo" strings, grammarInfo),
+    LuceneMorphology::readRules per-block heuristic dedup (:27-41 — first
+    occurrence of each (suffix, suffixLen) wins), findRuleId's floor
+    binary search over int-arrays (:92-131; compareToInts :134-143 ==
+    Python tuple comparison since blocks are fixed-width), and
+    getNormalForms' empty-string fallback (:58-77 — an empty transform
+    contributes the input word once).  No common-suffix requirement: any
+    word generalizes to the nearest preceding separator, exactly like
+    the reference."""
+
+    def __init__(self, separators: list[tuple[int, ...]],
+                 rules_id: list[int],
+                 rules: list[list[tuple[int, str, int, int]]],
+                 grammar: list[str]):
+        self.separators = separators
+        self.rules_id = rules_id
+        self.rules = rules
+        self.grammar = grammar
+
+    @classmethod
+    def parse(cls, text: str) -> "MorphInfoModel":
+        it = iter(text.split("\n"))
+        amount = int(next(it))
+        seps = []
+        for _ in range(amount):
+            ln = int(next(it))
+            seps.append(tuple(int(next(it)) for _ in range(ln)))
+        rules_id = [int(next(it)) for _ in range(amount)]
+        nrules = int(next(it))
+        rules = []
+        for _ in range(nrules):
+            rl = int(next(it))
+            block, seen = [], set()
+            for _ in range(rl):
+                p = next(it).split("|")
+                h = (int(p[0]), p[1], int(p[2]), int(p[3]))
+                if (h[0], h[1]) not in seen:       # modifyHeuristic dedup
+                    seen.add((h[0], h[1]))
+                    block.append(h)
+            rules.append(block)
+        ngram = int(next(it))
+        grammar = [next(it) for _ in range(ngram)]
+        return cls(seps, rules_id, rules, grammar)
+
+    @classmethod
+    def load(cls, path: str) -> "MorphInfoModel":
+        with open(path, encoding="utf-8") as f:
+            return cls.parse(f.read())
+
+    def check(self, word: str) -> bool:
+        return bool(word) and all(
+            c == "-" or "a" <= c <= "z" for c in word)
+
+    def _rule_block(self, word: str):
+        ints = en_encode_to_array(word[::-1])
+        i = bisect.bisect_right(self.separators, ints) - 1
+        if i < 0:
+            return None  # below the first separator (unreachable for a-z)
+        return self.rules[self.rules_id[i]]
+
+    def normal_forms(self, word: str) -> list[str]:
+        if not self.check(word):
+            return [word]
+        block = self._rule_block(word)
+        if block is None:
+            return [word]
+        out: list[str] = []
+        seen_empty = False
+        for suffix_len, repl, _fi, _ni in block:
+            if suffix_len > len(word):
+                e = word                       # transformWord guard
+            else:
+                e = word[: len(word) - suffix_len] + repl
+            # NO dedup — getNormalForms appends every nonempty transform
+            # (:64-72); downstream policies see the raw multiset
+            if e:
+                out.append(e)
+            elif not seen_empty:
+                out.append(word)
+                seen_empty = True
+        return out or [word]
+
+    def morph_info(self, word: str) -> list[tuple[str, str]]:
+        """(form, grammar tag) pairs (getMorphInfo :79-90)."""
+        if not self.check(word):
+            return [(word, "")]
+        block = self._rule_block(word) or []
+        out = []
+        for suffix_len, repl, fi, _ni in block:
+            e = word if suffix_len > len(word) \
+                else word[: len(word) - suffix_len] + repl
+            out.append((e, self.grammar[fi] if fi < len(self.grammar) else ""))
+        return out
+
+
 class EnglishStemmerPolicy:
     """A10 tie-break (EnglishStemmer.php:24-41)."""
 

@@ -112,3 +112,80 @@ def test_codec_order_preserving(w):
     other = "m" * len(w)
     if len(w) <= 6:
         assert (w < other) == (ENGLISH_CODEC.encode(w) < ENGLISH_CODEC.encode(other))
+
+
+# --- the reference's SHIPPED english model (data fixture, read-only:
+# english/morph.info — the file Morphology.php:187-247 deserializes) ---
+
+import os
+
+import pytest
+
+_MORPH_INFO = "/root/reference/src/analyses/morphology/english/morph.info"
+
+
+@pytest.fixture(scope="module")
+def real_model():
+    if not os.path.exists(_MORPH_INFO):
+        pytest.skip("reference checkout not present")
+    from php_lucene_analyzer_spark.analysis.morphology import MorphInfoModel
+    return MorphInfoModel.load(_MORPH_INFO)
+
+
+def test_real_morph_info_shape(real_model):
+    # counts recorded in SURVEY §1.5 for this file
+    assert len(real_model.separators) == 55457
+    assert len(real_model.rules_id) == 55457
+    assert len(real_model.rules) == 860
+    assert len(real_model.grammar) == 83
+    # int-array separators are sorted under tuple order (compareToInts)
+    assert real_model.separators == sorted(real_model.separators)
+
+
+def test_real_morph_info_lemmas(real_model):
+    """Golden vectors over the reference's own data: regular suffix
+    rewrites AND irregular forms only a faithful model lookup can get."""
+    m = real_model
+    assert m.normal_forms("running") == ["running", "run"]
+    assert m.normal_forms("cats") == ["cat"]
+    assert m.normal_forms("cities") == ["city"]
+    assert m.normal_forms("walked") == ["walk"]
+    # irregulars: impossible for a suffix-stripper without the dictionary
+    assert m.normal_forms("mice") == ["mouse"]
+    assert m.normal_forms("went") == ["go"]
+    assert m.normal_forms("was") == ["be"]
+    assert m.normal_forms("children") == ["child"]
+    assert m.normal_forms("feet") == ["foot"]
+    assert m.normal_forms("better") == ["well", "better", "good"]
+    # identity fallback for out-of-alphabet input
+    assert m.normal_forms("can't") == ["can't"]
+    assert m.normal_forms("x1y2") == ["x1y2"]
+
+
+def test_real_morph_info_policy_and_tags(real_model):
+    from php_lucene_analyzer_spark.analysis.morphology import (
+        EnglishStemmerPolicy)
+
+    st = EnglishStemmerPolicy(real_model)
+    # one form -> it; several incl. identity -> unique survivor
+    assert st.stem("cats") == "cat"
+    assert st.stem("running") == "run"
+    assert st.stem("went") == "go"
+    # several non-identity survivors -> keep the word
+    assert st.stem("better") == "better"
+    # grammar tags resolve through formMorphInfo indices
+    infos = real_model.morph_info("cats")
+    assert any(form == "cat" and tag for form, tag in infos)
+
+
+def test_real_morph_info_lemma_expand(real_model):
+    """MorphologyFilter semantics over the real model: lemma stacks share
+    the position (pos_inc 0 on the 2nd+)."""
+    from php_lucene_analyzer_spark.analysis import analyze
+    from php_lucene_analyzer_spark.analysis.morphology import lemma_expand
+
+    toks = [t for t in analyze("children running", stemming=False)]
+    out = lemma_expand(toks, real_model)
+    terms = [(t.term, t.pos_inc) for t in out]
+    assert ("child", 1) in terms
+    assert ("running", 1) in terms and ("run", 0) in terms
