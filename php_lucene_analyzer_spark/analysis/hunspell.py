@@ -200,6 +200,44 @@ def load(aff_text: str, dic_texts: list[str],
     return d
 
 
+# charset aliases the reference maps (Dictionary.php:867-870)
+_CHARSET_ALIASES = {"microsoft-cp1251": "windows-1251",
+                    "TIS620-2533": "TIS-620"}
+
+
+def detect_encoding(raw: bytes) -> str:
+    """getDictionaryEncoding parity (Dictionary.php:838-879, pattern
+    :827): scan for the first `(BOM?)SET <enc>` line, skipping blank and
+    `#` lines.  (Divergence noted: the PHP port concatenates non-matching
+    lines into one growing buffer before retrying the anchored regex — a
+    port bug that only works because SET is the first line in practice;
+    we scan per line.)"""
+    import re as _re
+
+    for line in raw.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if not line.strip() or line.startswith(b"#"):
+            continue
+        m = _re.match(rb"^(\xef\xbb\xbf)?SET[ \t]+", line)
+        if m:
+            enc = line[m.end():].decode("ascii", "ignore").strip()
+            return _CHARSET_ALIASES.get(enc, enc)
+    raise ValueError("no SET line found in affix file")
+
+
+def load_files(aff_path: str, dic_paths: list[str],
+               ignore_case: bool = False) -> Dictionary:
+    """Load raw .aff/.dic FILES: encoding comes from the affix SET line
+    (both files decode with it, exactly like the reference ctor
+    Dictionary.php:171-244)."""
+    raw = open(aff_path, "rb").read()
+    enc = detect_encoding(raw)
+    aff = raw.decode(enc).lstrip("﻿")
+    dics = [open(p, "rb").read().decode(enc).lstrip("﻿")
+            for p in dic_paths]
+    return load(aff, dics, ignore_case=ignore_case)
+
+
 class Stemmer:
     """uniqueStems per the reference's Stemmer.php contract."""
 

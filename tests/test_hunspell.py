@@ -159,3 +159,29 @@ def test_real_en_us_dictionary_loads_and_stems():
     assert st.unique_stems("cat") == ["cat"]
     # unknown gibberish stems to nothing
     assert st.unique_stems("zzzqqqxxx") == []
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DICTS),
+                    reason="reference checkout not present")
+def test_encoding_detection_and_nonlatin_dictionaries():
+    """getDictionaryEncoding parity over the reference's four shipped
+    dictionaries: SET-line encodings (incl. KOI8-R and a BOM'd UTF-8)
+    and full loads; Russian affix stemming sanity."""
+    from php_lucene_analyzer_spark.analysis.hunspell import (
+        detect_encoding, load_files)
+
+    expected = {"en_US": ("ISO8859-1", 48307), "ru_RU": ("KOI8-R", 146269),
+                "kk_KZ": ("UTF-8", 54063), "uk_UA": ("UTF-8", 126213)}
+    for name, (enc, n_words) in expected.items():
+        raw = open(f"{_REF_DICTS}/{name}.aff", "rb").read()
+        assert detect_encoding(raw) == enc, name
+        d = load_files(f"{_REF_DICTS}/{name}.aff",
+                       [f"{_REF_DICTS}/{name}.dic"])
+        assert len(d.words) == n_words, name
+
+    st = Stemmer(load_files(f"{_REF_DICTS}/ru_RU.aff",
+                            [f"{_REF_DICTS}/ru_RU.dic"]))
+    assert st.unique_stems("кошки") == ["кошка"]
+    assert st.unique_stems("столы") == ["стол"]
+    assert st.unique_stems("бежит") == ["бежать"]
+    assert st.unique_stems("книга") == ["книга"]
