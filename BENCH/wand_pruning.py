@@ -29,7 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # WAND's win case is skewed idf (a rare term gates which docs can beat
 # theta, so common-term cursors block-skip); the flat all-common case is
 # exactly what the adaptive kernel routes to the vectorized scorer.
-N_PARTS_BUILD = 8  # bigger doc-range buckets ~ production block counts
+# Few, LARGE doc-range buckets: block-skipping is a per-bucket effect —
+# a ubiquitous term's block is skipped iff no pivot doc lands in its
+# 128-doc range, so the win scales with blocks-per-bucket (span/128)
+# relative to pivots-per-bucket (~selective df + k).  Production buckets
+# hold 10^5-10^6 docs; 2 buckets of 25k docs approximate that ratio.
+N_PARTS_BUILD = 2
 
 
 def main() -> None:
@@ -46,21 +51,36 @@ def main() -> None:
 
     spark = get_spark(app="wand_pruning", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = ft.with_doc_ids(synthetic_corpus(spark, n_docs).cache(),
-                           ["repo", "path"], partitions=N_PARTS_BUILD)
+    vocab_size = int(os.environ.get("PRUNE_VOCAB", "100000"))
+    docs = ft.with_doc_ids(
+        synthetic_corpus(spark, n_docs, vocab_size=vocab_size).cache(),
+        ["repo", "path"], partitions=N_PARTS_BUILD)
     postings = index_corpus(docs, "doc_id", "content").cache()
     tstats = term_stats_from_postings(postings).cache()
     avgdl = corpus_stats_from_postings(postings, n_docs)
 
     stats = sorted(((r["term"], int(r["df"])) for r in tstats.collect()),
                    key=lambda x: x[1])
-    pick = lambda frac: stats[min(int(frac * len(stats)), len(stats) - 1)]
-    rare = [t for t, df in (pick(0.30), pick(0.32), pick(0.34))]
-    mid = [t for t, df in (pick(0.80), pick(0.82))]
+    dfs_only = [df for _, df in stats]
+
+    def pick_df(target):
+        """term whose df is nearest target — pruning only engages once a
+        bucket's heap holds k matches, so the 'selective' term must still
+        have >> k matches per bucket."""
+        import bisect as _b
+        i = min(_b.bisect_left(dfs_only, target), len(stats) - 1)
+        return stats[i][0]
+
+    per_bucket = n_docs // N_PARTS_BUILD
+    blocks_per_bucket = per_bucket // 128
+    # selective: fills the k=10 heap per bucket but pivots << blocks
+    sel = [pick_df(N_PARTS_BUILD * 40), pick_df(N_PARTS_BUILD * 60)]
+    mid = [pick_df(blocks_per_bucket * N_PARTS_BUILD * 4),
+           pick_df(per_bucket)]
     common = [t for t, df in (stats[-1], stats[-2], stats[-3])]
     QUERY_SETS = {
-        "rare+common (selective)": sorted(rare[:1] + common[:2]),
-        "rare+mid": sorted(rare + mid),
+        "selective+common": sorted({sel[0], common[0], common[1]}),
+        "selective+mid": sorted(set(sel + mid)),
         "all common (flat)": sorted(common),
     }
 

@@ -64,13 +64,35 @@ def _make_vocab() -> list[str]:
 _VOCAB = _make_vocab()
 
 
+def _make_big_vocab(size: int) -> list[str]:
+    """Extended vocabulary for realistic-skew experiments: lowercase
+    stem-triples ("parsemergetoken") — single tokens that WDGF does NOT
+    split, so the post-analysis term vocabulary really is ``size``-large
+    (the default corpus's camel/snake identifiers all collapse to ~50
+    subword stems, which makes every term ubiquitous at 50k+ docs)."""
+    out = list(_VOCAB)
+    n = len(_IDENT_STEMS)
+    i = 0
+    while len(out) < size:
+        a, b, c = i % n, (i // n) % n, (i // (n * n)) % n
+        out.append(_IDENT_STEMS[a] + _IDENT_STEMS[b] + _IDENT_STEMS[c])
+        i += 1
+    return out[:size]
+
+
 # Zipf-distributed identifier choice: heavy head terms appear everywhere
-_ZIPF_W = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.1
-_ZIPF_W /= _ZIPF_W.sum()
-_ZIPF_CDF = np.cumsum(_ZIPF_W)
+def _zipf_cdf(n_vocab: int, s: float = 1.1) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_vocab + 1) ** s
+    return np.cumsum(w / w.sum())
 
 
-def _gen_content(idx: int) -> str:
+_ZIPF_CDF = _zipf_cdf(len(_VOCAB))
+
+
+def _gen_content(idx: int, vocab: list[str] | None = None,
+                 cdf: np.ndarray | None = None) -> str:
+    _VOCAB = vocab if vocab is not None else globals()["_VOCAB"]
+    _ZIPF_CDF = cdf if cdf is not None else globals()["_ZIPF_CDF"]
     rng = np.random.default_rng(42 + idx)
     n_lines = int(rng.integers(5, 40))
     # one batched draw per doc instead of per line (rng calls dominate)
@@ -100,11 +122,19 @@ def _gen_content(idx: int) -> str:
 
 
 def synthetic_corpus(spark: SparkSession, n_docs: int,
-                     partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic corpus of ``n_docs`` synthetic source files."""
+                     partitions: int | None = None,
+                     vocab_size: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus of ``n_docs`` synthetic source files.
+
+    ``vocab_size``: None (default) keeps the original 1500-identifier
+    vocabulary — byte-identical corpus to round-1 baselines.  A value
+    switches to the extended non-splitting vocabulary (realistic Zipf
+    term skew for pruning/skew experiments)."""
     import hashlib
 
     def gen(batches):
+        vocab = _make_big_vocab(vocab_size) if vocab_size else None
+        cdf = _zipf_cdf(vocab_size) if vocab_size else None
         for pdf in batches:
             idxs = pdf["id"].to_numpy()
             repos, paths, commits, langs, contents = [], [], [], [], []
@@ -117,7 +147,7 @@ def synthetic_corpus(spark: SparkSession, n_docs: int,
                 repos.append(repo)
                 paths.append(path)
                 langs.append(lang)
-                contents.append(_gen_content(idx))
+                contents.append(_gen_content(idx, vocab, cdf))
             yield pd.DataFrame({"repo": repos, "path": paths, "commit": commits,
                                 "lang": langs, "content": contents})
 
