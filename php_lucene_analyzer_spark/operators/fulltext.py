@@ -67,6 +67,26 @@ def with_doc_ids(docs: DataFrame, order_cols: list[str],
     return dense_rank_ids(docs, order_cols, "doc_id", partitions)
 
 
+def content_invariant_violations(src: DataFrame, derived: DataFrame,
+                                 key_cols: list[str],
+                                 text_col: str = "content") -> DataFrame:
+    """Per-row content-sha256 invariant (input_hint): rows of a derived
+    table must carry byte-identical content to the source row with the
+    same key.  Returns the violating keys (empty == invariant holds):
+    keys missing from either side, or present with differing sha256.
+
+    Full-outer join on the key with JVM-side sha2 — one shuffle, no
+    Python; run as a build audit (scripts/build_index.py --audit)."""
+    a = src.select(*key_cols, F.sha2(F.col(text_col), 256).alias("_sha_src"))
+    b = derived.select(*key_cols,
+                       F.sha2(F.col(text_col), 256).alias("_sha_der"))
+    j = a.join(b, key_cols, "full_outer")
+    return (j.filter(F.col("_sha_src").isNull()
+                     | F.col("_sha_der").isNull()
+                     | (F.col("_sha_src") != F.col("_sha_der")))
+            .select(*key_cols, "_sha_src", "_sha_der"))
+
+
 def term_doc_freqs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "content") -> DataFrame:
     """(doc_id, term, tf, dl) — one row per distinct term per doc.

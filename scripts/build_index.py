@@ -39,6 +39,10 @@ def main() -> None:
                     help="comma-separated unique key for doc-id assignment")
     ap.add_argument("--text-col", default="content")
     ap.add_argument("--chunk-docs", type=int, default=1 << 20)
+    ap.add_argument("--audit", action="store_true",
+                    help="verify the per-row content-sha256 invariant "
+                         "between the source and the doc-id checkpoint "
+                         "(full extra scan of both)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +64,16 @@ def main() -> None:
                                 text_col=args.text_col)
     postings = build.run(docs, args.order_cols.split(","))
 
+    if args.audit:
+        from php_lucene_analyzer_spark.operators.fulltext import (
+            content_invariant_violations)
+        bad = content_invariant_violations(
+            docs, spark.read.parquet(build.ids_path),
+            args.order_cols.split(","), args.text_col).count()
+        if bad:
+            raise SystemExit(
+                f"content sha256 invariant violated for {bad} keys")
+
     n_docs = int(spark.read.parquet(build.ids_path).count())
     avgdl = corpus_stats_from_postings(postings, n_docs)
     term_dict_path = os.path.join(args.workdir, "term_dict")
@@ -70,6 +84,8 @@ def main() -> None:
      .write.mode("overwrite").parquet(term_dict_path))
 
     stats = {"n_docs": n_docs, "avgdl": avgdl,
+             "text_col": args.text_col,
+             "order_cols": args.order_cols.split(","),
              "chunks": sorted(build.completed_chunks()),
              "wall_sec": round(time.time() - t0, 2)}
     with open(os.path.join(args.workdir, "stats.json"), "w") as f:

@@ -20,6 +20,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--fetch", action="store_true",
+                    help="join hits against the doc-id checkpoint and "
+                         "return doc metadata (repo/path/... columns) "
+                         "instead of bare ids — one broadcast join, the "
+                         "hit side is tiny")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -41,14 +46,28 @@ def main() -> None:
     tstats = term_stats_from_postings(postings)
 
     qmap = {str(i): q for i, q in enumerate(args.queries)}
-    rows = wand_topk_many(postings, tstats, stats["n_docs"],
-                          stats["avgdl"], qmap, k=args.k).collect()
+    hits_df = wand_topk_many(postings, tstats, stats["n_docs"],
+                             stats["avgdl"], qmap, k=args.k)
+    meta_cols: list[str] = []
+    if args.fetch:
+        import pyspark.sql.functions as F
+
+        ids = spark.read.parquet(os.path.join(args.workdir, "docs_with_ids"))
+        skip = {"doc_id", stats.get("text_col", "content")}
+        meta_cols = [c for c in ids.columns
+                     if c not in skip and not c.startswith("_")
+                     and dict(ids.dtypes)[c] == "string"][:4]
+        hits_df = (F.broadcast(hits_df)
+                   .join(ids.select("doc_id", *meta_cols), "doc_id", "left"))
+    rows = hits_df.collect()
     by_q: dict[str, list] = {qid: [] for qid in qmap}
     for r in rows:
-        by_q[r["qid"]].append((r["doc_id"], r["score"]))
+        meta = {c: r[c] for c in meta_cols}
+        by_q[r["qid"]].append((r["doc_id"], r["score"], meta))
     for i in sorted(by_q, key=int):
         hits = sorted(by_q[i], key=lambda t: (-t[1], t[0]))
-        print(json.dumps({"query": qmap[i], "hits": hits}))
+        out = [[d, s_, m] if meta_cols else [d, s_] for d, s_, m in hits]
+        print(json.dumps({"query": qmap[i], "hits": out}))
     spark.stop()
 
 

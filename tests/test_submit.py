@@ -107,3 +107,53 @@ def test_query_via_spark_submit_matches_inprocess(built_index, pyfiles_zip,
                 wand_topk(postings, tstats, stats["n_docs"],
                           stats["avgdl"], q, k=5).collect()]
         assert got[q] == want and want
+
+
+def test_content_invariant_operator(spark):
+    """content_invariant_violations: clean copy -> empty; corrupted row
+    and missing row -> reported."""
+    import pyspark.sql.functions as F
+
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+    from php_lucene_analyzer_spark.operators.fulltext import (
+        content_invariant_violations, with_doc_ids)
+
+    src = synthetic_corpus(spark, 60).cache()
+    ids = with_doc_ids(src, ["repo", "path"])
+    assert content_invariant_violations(
+        src, ids, ["repo", "path"]).count() == 0
+    corrupted = ids.withColumn(
+        "content", F.when(F.col("doc_id") == 7, F.lit("tampered"))
+        .otherwise(F.col("content"))).filter(F.col("doc_id") != 9)
+    bad = content_invariant_violations(
+        src, corrupted, ["repo", "path"]).count()
+    assert bad == 2  # one mismatch + one missing
+
+
+def test_build_audit_and_fetch_via_spark_submit(pyfiles_zip, tmp_path_factory,
+                                                spark):
+    """--audit passes on a clean input_hint-shaped build; --fetch returns
+    repo/path metadata joined to the hits."""
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+
+    src = str(tmp_path_factory.mktemp("corpus") / "docs.parquet")
+    synthetic_corpus(spark, 300).write.parquet(src)
+    workdir = str(tmp_path_factory.mktemp("fetchidx") / "idx")
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "build_index.py"),
+                  "--input", src, "--workdir", workdir,
+                  "--order-cols", "repo,path", "--text-col", "content",
+                  "--chunk-docs", "150", "--audit")
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["n_docs"] == 300 and summary["text_col"] == "content"
+
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "query_index.py"),
+                  "--workdir", workdir, "-k", "3", "--fetch",
+                  "parse token")
+    line = [json.loads(l) for l in out.strip().splitlines()
+            if l.startswith("{")][0]
+    assert line["hits"], out
+    for doc_id, score, meta in line["hits"]:
+        assert set(meta) >= {"repo", "path"} and meta["repo"]
+        assert "content" not in meta
