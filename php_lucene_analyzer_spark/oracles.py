@@ -30,6 +30,10 @@ _QVALUES = ", ".join(
 
 ORACLES: dict[str, str] = {}
 
+ORACLES["content_sha"] = """
+SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id LIMIT 200
+"""
+
 ORACLES["tf"] = f"""
 WITH {_TOK}, {_TF}
 SELECT doc_id, term, tf FROM tf

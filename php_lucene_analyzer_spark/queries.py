@@ -323,8 +323,20 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_hashes=32, bands=8, min_jaccard=0.8)
 
 
+def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content sha256 (the input_hint invariant surfaced as a
+    value-matched contract query; the build-time audit is
+    operators/fulltext.py::content_invariant_violations)."""
+    import pyspark.sql.functions as F
+
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+            .orderBy("doc_id").limit(200))
+
+
 QUERIES = {
     "tf": q_tf,
+    "content_sha": q_content_sha,
     "doc_stats": q_doc_stats,
     "term_stats": q_term_stats,
     "term_dict": q_term_dict,
