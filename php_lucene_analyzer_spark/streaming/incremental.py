@@ -24,12 +24,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.positional import positional_postings
 from ..operators.postings import index_corpus
 
 EPOCH_SHIFT = 40
 
 
-def _index_batch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+def _index_batch(batch_df: DataFrame, epoch_id: int, out_dir: str,
+                 positional_dir: str | None = None) -> None:
     if batch_df.isEmpty():
         return
     # micro-batches are small; a single-partition window is fine here
@@ -38,27 +40,37 @@ def _index_batch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
     ids = (batch_df
            .withColumn("doc_id",
                        (F.lit(int(epoch_id) << EPOCH_SHIFT)
-                        + w - 1).cast("long")))
+                        + w - 1).cast("long"))
+           .localCheckpoint(eager=False))  # reused by both index kinds
     seg = os.path.join(out_dir, f"epoch={int(epoch_id)}")
     index_corpus(ids, "doc_id", "content") \
         .withColumn("rbucket", F.lit(int(epoch_id)).cast("long")) \
         .write.mode("overwrite").parquet(seg)
+    if positional_dir is not None:
+        pseg = os.path.join(positional_dir, f"epoch={int(epoch_id)}")
+        positional_postings(ids, "doc_id", "content") \
+            .withColumn("rbucket", F.lit(int(epoch_id)).cast("long")) \
+            .write.mode("overwrite").parquet(pseg)
 
 
 def stream_index(spark: SparkSession, input_dir: str, out_dir: str,
                  checkpoint_dir: str, schema: str =
                  "repo string, path string, commit string, lang string, "
-                 "content string") -> StreamingQuery:
+                 "content string",
+                 positional_dir: str | None = None) -> StreamingQuery:
     """Start an availableNow streaming index over a parquet drop directory.
 
     Exactly-once per micro-batch: the epoch-keyed segment dir is
     overwritten on replay; the streaming checkpoint tracks consumed files.
+    ``positional_dir`` additionally maintains epoch-scoped positional
+    block segments so phrase queries cover the streamed corpus too.
     """
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 4)
               .parquet(input_dir))
     return (stream.writeStream
-            .foreachBatch(lambda df, eid: _index_batch(df, eid, out_dir))
+            .foreachBatch(lambda df, eid: _index_batch(
+                df, eid, out_dir, positional_dir))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

