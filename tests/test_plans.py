@@ -115,3 +115,40 @@ def test_index_build_single_shuffle(spark):
     # the checkpointed id-assignment exchange is materialized already;
     # the remaining live plan must be shuffle-free
     assert shuffle_count(sp) == 0
+
+
+def test_semijoin_term_fetch_is_broadcast(spark, docs):
+    """Past _ISIN_MAX the term predicate must plan as a BROADCAST left-semi
+    hash join (not a shuffle join), keeping large query batches O(set)."""
+    from php_lucene_analyzer_spark.operators import fulltext as ft
+    from php_lucene_analyzer_spark.operators.postings import build_postings
+    from php_lucene_analyzer_spark.operators.wand import _filter_terms
+
+    tdf = ft.term_doc_freqs(docs, "doc_id", "text")
+    postings = build_postings(tdf, bucket_span=100)
+    terms = [f"term{i}" for i in range(600)]  # > _ISIN_MAX
+    plan = _filter_terms(postings, terms)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    small = _filter_terms(postings, ["merge", "join"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in small  # isin stays a scan-level predicate
+
+
+def test_dense_rank_ids_no_global_window(spark):
+    """Term/doc-id assignment must never plan a single-partition global
+    window (the vocabulary-scale bottleneck): the two-phase scheme's only
+    window is partitioned by _pid, and the offset join is broadcast."""
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+    from php_lucene_analyzer_spark.operators.fulltext import dense_rank_ids
+
+    df = synthetic_corpus(spark, 100, partitions=2).select("repo", "path")
+    out = dense_rank_ids(df, ["repo", "path"], "xid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # a global orderBy window plans as 'Window [...] , [term ASC...]' with
+    # a preceding Exchange SinglePartition — forbid the single partition
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # and it is correct: ids are the global rank
+    rows = sorted((r["repo"], r["path"], r["xid"]) for r in out.collect())
+    assert [x for _, _, x in rows] == list(range(len(rows)))
