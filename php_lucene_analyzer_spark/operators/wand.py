@@ -228,6 +228,46 @@ def _score_bucket_vectorized(pdf: pd.DataFrame,
                          "score": s[order]})
 
 
+def _single_term_topk(pdf: pd.DataFrame, idf: float, k: int, avgdl: float,
+                      k1: float, b: float) -> pd.DataFrame:
+    """Impact-ordered top-k for ONE term: blocks scanned in upper-bound
+    DESCENDING order, stopping when the next block's bound is strictly
+    below theta (the k-th best so far).  Exact, incl. ties: a block whose
+    bound EQUALS theta may still hold a tying doc with a smaller doc_id
+    (tie-break is doc asc), so only a strict < terminates.  Scores use
+    the same float64 expression as every other kernel — bit-identical.
+    """
+    max_tf = pdf["max_tf"].to_numpy().astype(np.float64)
+    min_dl = pdf["min_dl"].to_numpy().astype(np.float64)
+    bounds = (idf * (k1 + 1.0) * max_tf
+              / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl)))
+    order = np.argsort(-bounds, kind="stable")
+    doc_blobs = pdf["doc_blob"].to_numpy()
+    tf_blobs = pdf["tf_blob"].to_numpy()
+    dl_blobs = pdf["dl_blob"].to_numpy()
+    heap: list[tuple[float, int]] = []
+    theta = float("-inf")
+    for bi in order:
+        if len(heap) >= k and bounds[bi] < theta:
+            break  # every later block bounds strictly below the k-th best
+        docs = delta_decode(vbyte_decode(doc_blobs[bi])).astype(np.int64)
+        tfs = vbyte_decode(tf_blobs[bi]).astype(np.float64)
+        dls = vbyte_decode(dl_blobs[bi]).astype(np.float64)
+        scores = (idf * (tfs * (k1 + 1.0))
+                  / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
+        for s, d in zip(scores, docs):
+            item = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+                theta = heap[0][0]
+    return pd.DataFrame([(-nd, s) for s, nd in heap],
+                        columns=["doc_id", "score"])
+
+
 def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[str, float]],
                  k: int, avgdl: float, k1: float, b: float,
                  dense_threshold: float = 0.10) -> pd.DataFrame:
@@ -236,6 +276,9 @@ def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[str, float]],
     Adaptive: if the bucket's matched postings cover more than
     ``dense_threshold`` of its doc range, pruning cannot win — switch to
     the vectorized exhaustive kernel (same float contract)."""
+    if len(term_meta) == 1:
+        rows = pdf[pdf["term"] == term_meta[0][0]]
+        return _single_term_topk(rows, term_meta[0][1], k, avgdl, k1, b)
     n_postings = int(pdf["n"].sum())
     span = int(pdf["last_doc"].max()) - int(pdf["first_doc"].min()) + 1
     if span > 0 and n_postings > dense_threshold * span:

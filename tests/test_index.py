@@ -370,3 +370,44 @@ def test_colliding_rbuckets_still_correct(spark):
         want = ft.bm25_topk(tdf, ft.term_stats(tdf), n, avgdl, q,
                             k=10).collect()
         assert got == want and got
+
+
+def test_single_term_impact_ordered_early_stop(monkeypatch):
+    """Single-term queries run the impact-ordered kernel: blocks scanned
+    bound-descending, terminating before the tail — and the result equals
+    a brute-force evaluation of every posting."""
+    import numpy as np
+
+    import php_lucene_analyzer_spark.operators.wand as W
+    from php_lucene_analyzer_spark.operators.postings import _block_rows
+
+    rng = np.random.default_rng(3)
+    n = 128 * 40
+    docs_a = np.arange(n, dtype=np.uint64)
+    # skewed tf: one early block holds the giants -> later bounds are low
+    tfs = rng.integers(1, 4, size=n).astype(np.uint64)
+    tfs[200:210] = 50
+    dls = np.full(n, 60, dtype=np.uint64)
+    pdf = _block_rows(["t"], np.array([0, n], dtype=np.int64),
+                      docs_a, tfs, dls, rbucket=0)
+
+    calls = {"n": 0}
+    orig = W.vbyte_decode
+
+    def counting(buf):
+        calls["n"] += 1
+        return orig(buf)
+
+    monkeypatch.setattr(W, "vbyte_decode", counting)
+    got = W._wand_bucket(pdf, [("t", 2.0)], 10, 60.0, W.K1, W.B)
+    decoded_blocks = calls["n"] / 3
+    assert decoded_blocks < 40, "early termination never triggered"
+
+    # brute force over every posting with the same expression
+    k1, b = W.K1, W.B
+    scores = (2.0 * (tfs.astype(np.float64) * (k1 + 1.0))
+              / (tfs.astype(np.float64)
+                 + k1 * (1.0 - b + b * 60.0 / 60.0)))
+    order = np.lexsort((docs_a.astype(np.int64), -scores))[:10]
+    want = {(int(docs_a[i]), float(scores[i])) for i in order}
+    assert {(r.doc_id, r.score) for r in got.itertuples()} == want
