@@ -185,3 +185,45 @@ def test_encoding_detection_and_nonlatin_dictionaries():
     assert st.unique_stems("столы") == ["стол"]
     assert st.unique_stems("бежит") == ["бежать"]
     assert st.unique_stems("книга") == ["книга"]
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DICTS),
+                    reason="reference checkout not present")
+def test_russian_end_to_end_index_and_query(spark):
+    """Cyrillic tokenization + real ru_RU Hunspell stemming, end to end:
+    a query using one inflected form finds documents containing other
+    inflections of the same lemma."""
+    from php_lucene_analyzer_spark.analysis.analyzers import Analyzer
+    from php_lucene_analyzer_spark.analysis.hunspell import load_files
+    from php_lucene_analyzer_spark.operators import fulltext as ft
+    from php_lucene_analyzer_spark.operators.postings import (
+        corpus_stats_from_postings, index_corpus, term_stats_from_postings)
+    from php_lucene_analyzer_spark.operators.wand import wand_topk_terms
+
+    ru = Stemmer(load_files(f"{_REF_DICTS}/ru_RU.aff",
+                            [f"{_REF_DICTS}/ru_RU.dic"]))
+    an = Analyzer(stemmer="hunspell", hunspell=ru, stop_words=None)
+
+    rows = [
+        ("r", "a.txt", "c", "txt", "кошки бегут по крыше"),
+        ("r", "b.txt", "c", "txt", "одна кошка спит"),
+        ("r", "c.txt", "c", "txt", "столы и стулья"),
+        ("r", "d.txt", "c", "txt", "parser handles tokens"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    ids = ft.with_doc_ids(docs, ["repo", "path"], partitions=2).cache()
+    p = index_corpus(ids, "doc_id", "content", analyzer=an).cache()
+    ts = term_stats_from_postings(p)
+    avgdl = corpus_stats_from_postings(p, 4)
+
+    # the inflections really did collapse to one lemma in the index
+    assert {r["term"] for r in
+            ts.filter(ts.term == "кошка").collect()} == {"кошка"}
+    qterms = sorted(set(an.terms("кошку")))  # accusative form
+    assert qterms == ["кошка"]
+    hits = {r["doc_id"] for r in
+            wand_topk_terms(p, ts, 4, avgdl, qterms, k=4).collect()}
+    id_of = {r["path"]: r["doc_id"] for r in ids.collect()}
+    assert hits == {id_of["a.txt"], id_of["b.txt"]}
