@@ -1,0 +1,122 @@
+"""User-facing façade: build once, query many.
+
+The operators (fulltext/postings/wand/positional) are the engine; this
+class is the ergonomic surface a reference user reaches for first:
+
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+
+    idx = FulltextIndex.build(spark, docs, order_cols=["repo", "path"])
+    idx.search("parse token stream", k=10)          # DataFrame(doc_id, score)
+    idx.search_many({"a": "...", "b": "..."})       # one Spark job
+    idx.phrase("merge join")                        # needs positional=True
+    idx.save("/path/idx"); FulltextIndex.load(spark, "/path/idx")
+
+Everything delegates to the tested operators — same semantics, same
+bit-identical rank contract.  The spark-submit CLIs (scripts/) remain
+the cluster entrypoints; save()/load() share their on-disk layout
+concepts (sorted postings parquet + stats.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .analysis import analyze
+from .operators import fulltext as ft
+from .operators.positional import phrase_match, positional_postings
+from .operators.postings import (corpus_stats_from_postings, index_corpus,
+                                 term_stats_from_postings, write_postings)
+from .operators.wand import wand_topk_many, wand_topk_terms
+
+
+class FulltextIndex:
+    def __init__(self, spark: SparkSession, postings: DataFrame,
+                 tstats: DataFrame, n_docs: int, avgdl: float,
+                 analyzer=None, positional: DataFrame | None = None):
+        self.spark = spark
+        self.postings = postings
+        self.tstats = tstats
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.analyzer = analyzer
+        self.positional = positional
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(cls, spark: SparkSession, docs: DataFrame,
+              order_cols: list[str], text_col: str = "content",
+              analyzer=None, positional: bool = False,
+              partitions: int | None = None) -> "FulltextIndex":
+        """Deterministic doc ids -> fused posting-block build (one
+        shuffle total); optional packed positional index (uses the
+        flagship chain — phrase semantics are defined by it)."""
+        ids = ft.with_doc_ids(docs, order_cols, partitions).cache()
+        n_docs = ids.count()
+        postings = index_corpus(ids, "doc_id", text_col,
+                                analyzer=analyzer).cache()
+        tstats = term_stats_from_postings(postings).cache()
+        avgdl = corpus_stats_from_postings(postings, n_docs)
+        pos = None
+        if positional:
+            pos = positional_postings(ids, "doc_id", text_col).cache()
+        return cls(spark, postings, tstats, n_docs, avgdl, analyzer, pos)
+
+    # ------------------------------------------------------------- query
+    def _terms(self, query: str) -> list[str]:
+        if self.analyzer is not None:
+            return sorted(set(self.analyzer.terms(query)))
+        return sorted({t.term for t in analyze(query)})
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Block-max WAND top-k -> DataFrame(doc_id, score), total order
+        (score desc, doc_id asc) — bit-identical to the exhaustive
+        scorer."""
+        return wand_topk_terms(self.postings, self.tstats, self.n_docs,
+                               self.avgdl, self._terms(query), k)
+
+    def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Whole query set in ONE Spark job -> (qid, doc_id, score)."""
+        terms_fn = (self.analyzer.terms if self.analyzer is not None
+                    else None)
+        return wand_topk_many(self.postings, self.tstats, self.n_docs,
+                              self.avgdl, queries, k, terms_fn=terms_fn)
+
+    def phrase(self, phrase: str) -> DataFrame:
+        """Exact-phrase docs -> (doc_id, n_matches); needs
+        ``build(..., positional=True)`` or a loaded positional dir."""
+        if self.positional is None:
+            raise ValueError("index built without positional=True")
+        return phrase_match(self.positional, phrase)
+
+    # --------------------------------------------------------- save/load
+    def save(self, path: str) -> None:
+        """Sorted-by-term postings parquet (row-group min/max prune term
+        lookups) + optional positional blocks + stats.json."""
+        write_postings(self.postings, os.path.join(path, "postings"))
+        if self.positional is not None:
+            (self.positional.repartitionByRange("term")
+             .sortWithinPartitions("term", "rbucket", "block_no")
+             .write.mode("overwrite")
+             .parquet(os.path.join(path, "positional")))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "stats.json"), "w") as f:
+            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
+                       "has_positional": self.positional is not None}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             analyzer=None) -> "FulltextIndex":
+        """Reopen a saved index; the caller must supply the SAME analyzer
+        the index was built with (chains are code, not data)."""
+        with open(os.path.join(path, "stats.json")) as f:
+            stats = json.load(f)
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        tstats = term_stats_from_postings(postings)
+        pos = None
+        if stats.get("has_positional"):
+            pos = spark.read.parquet(os.path.join(path, "positional"))
+        return cls(spark, postings, tstats, int(stats["n_docs"]),
+                   float(stats["avgdl"]), analyzer, pos)

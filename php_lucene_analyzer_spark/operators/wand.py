@@ -362,18 +362,23 @@ def wand_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
 
 def wand_topk_many(postings: DataFrame, tstats: DataFrame, n_docs: int,
                    avgdl: float, queries: dict[str, str], k: int = 10,
-                   k1: float = K1, b: float = B) -> DataFrame:
+                   k1: float = K1, b: float = B,
+                   terms_fn=None) -> DataFrame:
     """Evaluate a whole query SET in one Spark job -> (qid, doc_id, score).
 
     Serving shape: per-query driver round trips dominate latency at small
     k, so the bucket kernel runs every query against its bucket in one
     applyInPandas pass (matched terms unioned, metadata broadcast via the
     closure), then one global top-k per qid.  Results are bit-identical
-    to per-query wand_topk."""
+    to per-query wand_topk.
+
+    ``terms_fn``: query-string -> term list; defaults to the flagship
+    analysis chain (custom Analyzer chains pass ``analyzer.terms``)."""
     spark = postings.sparkSession
+    if terms_fn is None:
+        terms_fn = lambda q: [t.term for t in analyze(q)]
     per_q: dict[str, list[str]] = {
-        qid: sorted({t.term for t in analyze(q)})
-        for qid, q in queries.items()}
+        qid: sorted(set(terms_fn(q))) for qid, q in queries.items()}
     all_terms = sorted({t for ts in per_q.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "qid string, doc_id long, score double")

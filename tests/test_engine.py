@@ -1,0 +1,77 @@
+"""FulltextIndex façade: build/search/search_many/phrase/save/load all
+delegate to the tested operators with identical results."""
+
+import pytest
+
+from php_lucene_analyzer_spark.corpus import synthetic_corpus
+from php_lucene_analyzer_spark.engine import FulltextIndex
+from php_lucene_analyzer_spark.operators import fulltext as ft
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = synthetic_corpus(spark, 400, partitions=4).cache()
+    return docs, FulltextIndex.build(spark, docs, ["repo", "path"],
+                                     positional=True)
+
+
+def test_search_matches_exhaustive(spark, idx):
+    docs, index = idx
+    ids = ft.with_doc_ids(docs, ["repo", "path"])
+    tdf = ft.term_doc_freqs(ids, "doc_id", "content").cache()
+    n, avgdl = ft.corpus_stats(tdf)
+    tstats = ft.term_stats(tdf)
+    for q in ("parseToken buildIndex", "merge", "config parser option"):
+        got = [(r["doc_id"], r["score"]) for r in
+               index.search(q, k=8).collect()]
+        want = [(r["doc_id"], r["score"]) for r in
+                ft.bm25_topk(tdf, tstats, n, avgdl, q, k=8).collect()]
+        assert got == want and got
+
+
+def test_search_many_matches_search(idx):
+    _, index = idx
+    qs = {"a": "parse token", "b": "merge stream", "c": "zzz-nothing"}
+    many = index.search_many(qs, k=5).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        per = [(r["doc_id"], r["score"]) for r in
+               index.search(q, k=5).collect()]
+        got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+        assert got == per
+
+
+def test_phrase_and_save_load(spark, idx, tmp_path):
+    _, index = idx
+    ph = index.phrase("parse token").collect()
+    assert ph and all(r["n_matches"] >= 1 for r in ph)
+
+    path = str(tmp_path / "saved")
+    index.save(path)
+    re = FulltextIndex.load(spark, path)
+    assert (re.n_docs, re.avgdl) == (index.n_docs, index.avgdl)
+    q = "parseToken buildIndex"
+    assert [(r["doc_id"], r["score"]) for r in re.search(q).collect()] \
+        == [(r["doc_id"], r["score"]) for r in index.search(q).collect()]
+    assert {(r["doc_id"], r["n_matches"])
+            for r in re.phrase("parse token").collect()} \
+        == {(r["doc_id"], r["n_matches"]) for r in ph}
+
+
+def test_custom_analyzer_roundtrip(spark):
+    """A custom chain (no stemming, no stopwords) flows through build and
+    both query paths symmetrically."""
+    from php_lucene_analyzer_spark.analysis.analyzers import Analyzer
+
+    an = Analyzer(stemmer=None, stop_words=None)
+    docs = synthetic_corpus(spark, 150, partitions=2)
+    index = FulltextIndex.build(spark, docs, ["repo", "path"], analyzer=an)
+    # "the" survives this chain (no stop list) — must be queryable
+    assert index.tstats.filter("term = 'the'").count() == 1
+    got = index.search("the", k=5).collect()
+    assert got
+    many = index.search_many({"q": "the"}, k=5).collect()
+    assert {(r["doc_id"], r["score"]) for r in many} \
+        == {(r["doc_id"], r["score"]) for r in got}
