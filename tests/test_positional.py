@@ -109,3 +109,56 @@ def test_pos_block_roundtrip_multiblock():
         for d, pl in zip(docs, plists):
             got[row["term"]][int(d)] = pl.tolist()
     assert got == want
+
+
+def test_pos_block_roundtrip_property():
+    """Property: ANY (docs, freqs, positions) shape round-trips through
+    block packing — random term counts, doc counts around block-boundary
+    edges (1, 127, 128, 129), freqs 1..8, positions with duplicates
+    removed per doc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        _decode_block, _pos_block_rows)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(
+        st.tuples(
+            st.sampled_from([1, 2, 5, 127, 128, 129, 200]),  # docs/term
+            st.integers(min_value=0, max_value=2**31)),      # seed
+        min_size=1, max_size=4))
+    def check(term_specs):
+        docs_l, freqs_l, pos_l, offsets = [], [], [], [0]
+        want = {}
+        terms = []
+        for ti, (n_docs, seed) in enumerate(term_specs):
+            term = f"t{ti}"
+            terms.append(term)
+            rng = np.random.default_rng(seed)
+            dids = np.sort(rng.choice(10**7, size=n_docs, replace=False))
+            want[term] = {}
+            for d in dids:
+                k = int(rng.integers(1, 9))
+                ps = np.unique(rng.integers(0, 10**5, size=k))
+                want[term][int(d)] = ps.tolist()
+                docs_l.append(int(d))
+                freqs_l.append(len(ps))
+                pos_l.extend(ps.tolist())
+            offsets.append(len(docs_l))
+        pdf = _pos_block_rows(
+            terms, np.asarray(offsets, dtype=np.int64),
+            np.asarray(docs_l, dtype=np.uint64),
+            np.asarray(freqs_l, dtype=np.uint64),
+            np.asarray(pos_l, dtype=np.uint64), rbucket=0)
+        got = {t: {} for t in terms}
+        for _, row in pdf.iterrows():
+            docs, freqs, plists = _decode_block(
+                row["doc_blob"], row["freq_blob"], row["pos_blob"])
+            for d, pl in zip(docs, plists):
+                got[row["term"]][int(d)] = pl.tolist()
+        assert got == want
+
+    check()
