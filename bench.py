@@ -81,6 +81,17 @@ def main() -> None:
     tq = time.time()
     wand_topk_many(postings, tstats, n, avgdl, qset, k=10).collect()
     timings["bm25_wand_batched"] = round(time.time() - tq, 3)
+    # serving throughput: 100 deterministic 2-term queries, ONE Spark job
+    vocab = [r["term"] for r in
+             tstats.orderBy(tstats.df.desc(), "term").limit(40).collect()]
+    big = {f"b{i}": f"{vocab[i % len(vocab)]} {vocab[(i * 7 + 3) % len(vocab)]}"
+           for i in range(100)}
+    tq = time.time()
+    n_hits = wand_topk_many(postings, tstats, n, avgdl, big, k=10).count()
+    dt_big = time.time() - tq
+    timings["bm25_batch100"] = round(dt_big, 3)
+    extra["serving_qps_batch100"] = round(100 / dt_big, 1) if dt_big else 0.0
+    assert n_hits > 0
 
     # --- oracle-suite queries: 1 untimed warmup (JIT/codegen) + 1 timed ---
     for name, fn in QUERIES.items():
