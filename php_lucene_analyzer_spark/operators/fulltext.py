@@ -76,14 +76,19 @@ def content_invariant_violations(src: DataFrame, derived: DataFrame,
     keys missing from either side, or present with differing sha256.
 
     Full-outer join on the key with JVM-side sha2 — one shuffle, no
-    Python; run as a build audit (scripts/build_index.py --audit)."""
-    a = src.select(*key_cols, F.sha2(F.col(text_col), 256).alias("_sha_src"))
+    Python; run as a build audit (scripts/build_index.py --audit).
+    NULL content is legal and equal to NULL content (null-safe compare
+    with explicit presence markers — sha2(NULL) is NULL, so NULLness
+    cannot stand in for \"key missing\")."""
+    a = src.select(*key_cols, F.sha2(F.col(text_col), 256).alias("_sha_src"),
+                   F.lit(True).alias("_in_src"))
     b = derived.select(*key_cols,
-                       F.sha2(F.col(text_col), 256).alias("_sha_der"))
+                       F.sha2(F.col(text_col), 256).alias("_sha_der"),
+                       F.lit(True).alias("_in_der"))
     j = a.join(b, key_cols, "full_outer")
-    return (j.filter(F.col("_sha_src").isNull()
-                     | F.col("_sha_der").isNull()
-                     | (F.col("_sha_src") != F.col("_sha_der")))
+    return (j.filter(F.col("_in_src").isNull()
+                     | F.col("_in_der").isNull()
+                     | ~F.col("_sha_src").eqNullSafe(F.col("_sha_der")))
             .select(*key_cols, "_sha_src", "_sha_der"))
 
 

@@ -133,9 +133,26 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
         pos_a = np.empty(int(poffs[-1]), dtype=np.uint64)
         for i, term in enumerate(terms):
             d, f, p = acc[term]
-            docs_a[offsets[i]:offsets[i + 1]] = d
-            freqs_a[offsets[i]:offsets[i + 1]] = f
-            pos_a[poffs[i]:poffs[i + 1]] = p
+            s, e = offsets[i], offsets[i + 1]
+            ps, pe = poffs[i], poffs[i + 1]
+            docs_a[s:e] = d
+            freqs_a[s:e] = f
+            pos_a[ps:pe] = p
+            # doc-order guard (same as postings.index_corpus): range
+            # partitioning does NOT sort within partitions, so input rows
+            # can arrive doc-unordered — re-sort docs AND gather each
+            # doc's position slice along
+            if e - s > 1 and not (docs_a[s + 1:e] >= docs_a[s:e - 1]).all():
+                order = np.argsort(docs_a[s:e], kind="stable")
+                fl = freqs_a[s:e].astype(np.int64)
+                starts = ps + np.concatenate(
+                    ([0], np.cumsum(fl)))[:-1]
+                gather = np.concatenate(
+                    [np.arange(starts[j], starts[j] + fl[j])
+                     for j in order])
+                docs_a[s:e] = docs_a[s:e][order]
+                freqs_a[s:e] = freqs_a[s:e][order]
+                pos_a[ps:pe] = pos_a[gather]
         yield _pos_block_rows(terms, offsets, docs_a, freqs_a, pos_a, pid)
 
     return docs_with_ids.select(id_col, text_col).mapInPandas(

@@ -236,13 +236,24 @@ def write_postings(postings: DataFrame, path: str) -> None:
     The blocks are persisted across the two passes the range partitioner
     needs (boundary sampling + the real shuffle) — otherwise the sampling
     job silently RE-RUNS the whole upstream index build (measured: 2x
-    build cost on a 1M-doc corpus)."""
+    build cost on a 1M-doc corpus).  A DataFrame the CALLER already
+    persisted is left persisted (unpersisting here would silently evict
+    the caller's cache — persist/unpersist key on the plan, not on this
+    reference)."""
     from pyspark import StorageLevel
 
-    p = postings.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        (p.repartitionByRange("term")
+    already = postings.storageLevel != StorageLevel.NONE
+
+    def write(df):
+        (df.repartitionByRange("term")
          .sortWithinPartitions("term", "rbucket", "block_no")
          .write.mode("overwrite").parquet(path))
+
+    if already:
+        write(postings)
+        return
+    p = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write(p)
     finally:
         p.unpersist()

@@ -57,8 +57,11 @@ def main() -> None:
         meta_cols = [c for c in ids.columns
                      if c not in skip and not c.startswith("_")
                      and dict(ids.dtypes)[c] == "string"][:4]
+        # INNER join: every hit doc_id exists in the checkpoint, and a
+        # left-outer could not build on its preserved (broadcast) side —
+        # Spark would drop the hint and shuffle the whole ids table
         hits_df = (F.broadcast(hits_df)
-                   .join(ids.select("doc_id", *meta_cols), "doc_id", "left"))
+                   .join(ids.select("doc_id", *meta_cols), "doc_id"))
     rows = hits_df.collect()
     by_q: dict[str, list] = {qid: [] for qid in qmap}
     for r in rows:

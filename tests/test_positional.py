@@ -2,6 +2,8 @@
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from php_lucene_analyzer_spark.analysis import analyze
 from php_lucene_analyzer_spark.operators.positional import (
     _phrase_terms, phrase_match, positional_postings)
@@ -162,3 +164,24 @@ def test_pos_block_roundtrip_property():
         assert got == want
 
     check()
+
+
+def test_positional_build_handles_unordered_partitions(spark, docs):
+    """Range partitioning does not sort within partitions — a build over
+    rows arriving doc-DESCENDING must equal the ordered build (the
+    doc-order guard reorders docs and gathers position slices along)."""
+    ordered = docs.repartitionByRange(3, "doc_id") \
+                  .sortWithinPartitions("doc_id")
+    reversed_ = docs.repartitionByRange(3, "doc_id") \
+                    .sortWithinPartitions(F.desc("doc_id"))
+    a = positional_postings(ordered, "doc_id", "text")
+    b = positional_postings(reversed_, "doc_id", "text")
+    key = lambda df: {
+        (r["term"], r["rbucket"], r["block_no"], r["first_doc"],
+         r["last_doc"], bytes(r["doc_blob"]), bytes(r["freq_blob"]),
+         bytes(r["pos_blob"])) for r in df.collect()}
+    assert key(a) == key(b)
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(b, "merge join").collect()}
+    want = _oracle(docs.collect(), "merge join")
+    assert got == want and got

@@ -157,3 +157,33 @@ def test_build_audit_and_fetch_via_spark_submit(pyfiles_zip, tmp_path_factory,
     for doc_id, score, meta in line["hits"]:
         assert set(meta) >= {"repo", "path"} and meta["repo"]
         assert "content" not in meta
+
+
+def test_content_invariant_null_content(spark):
+    """NULL content equals NULL content (no false violation); a NULL vs
+    non-NULL mismatch IS a violation."""
+    from php_lucene_analyzer_spark.operators.fulltext import (
+        content_invariant_violations)
+
+    schema = "k long, content string"
+    src = spark.createDataFrame([(1, "x"), (2, None)], schema)
+    same = spark.createDataFrame([(1, "x"), (2, None)], schema)
+    assert content_invariant_violations(src, same, ["k"]).count() == 0
+    diff = spark.createDataFrame([(1, "x"), (2, "now set")], schema)
+    assert content_invariant_violations(src, diff, ["k"]).count() == 1
+
+
+def test_engine_save_keeps_cache(spark, tmp_path):
+    """save() must not evict the index's own cached postings plan."""
+    from pyspark import StorageLevel
+
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+
+    docs = synthetic_corpus(spark, 80)
+    idx = FulltextIndex.build(spark, docs, ["repo", "path"])
+    assert idx.postings.storageLevel != StorageLevel.NONE
+    idx.save(str(tmp_path / "s"))
+    assert idx.postings.storageLevel != StorageLevel.NONE, \
+        "save() unpersisted the live index"
+    assert idx.search("parse", k=3).count() > 0
