@@ -60,13 +60,10 @@ def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
     kind encodes everything (vbyte_encode_slices)."""
     if docs.size == 0:
         return pd.DataFrame(columns=_COLS)
-    counts = np.diff(term_offsets)
-    nblocks = (counts + POS_BLOCK_SIZE - 1) // POS_BLOCK_SIZE
-    term_idx = np.repeat(np.arange(len(terms)), nblocks)
-    block_no = np.concatenate([np.arange(b) for b in nblocks]) \
-        if len(terms) else np.empty(0, dtype=np.int64)
-    bstarts = term_offsets[term_idx] + block_no * POS_BLOCK_SIZE
-    bends = np.minimum(bstarts + POS_BLOCK_SIZE, term_offsets[term_idx + 1])
+    from .postings import tile_blocks
+
+    term_idx, block_no, bstarts, bends = tile_blocks(term_offsets,
+                                                     POS_BLOCK_SIZE)
     # doc gaps with reset at block starts (first doc absolute per block)
     dgaps = docs.astype(np.uint64).copy()
     dgaps[1:] -= docs[:-1].astype(np.uint64)

@@ -60,6 +60,21 @@ _COLS = ["term", "rbucket", "block_no", "n", "first_doc", "last_doc",
          "max_tf", "min_dl", "sum_tf", "doc_blob", "tf_blob", "dl_blob"]
 
 
+def tile_blocks(term_offsets: np.ndarray, block_size: int
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tile per-term slices into <= block_size-doc blocks (shared by the
+    BM25 and positional builders): -> (term_idx, block_no, bstarts,
+    bends), all in the concatenated doc-index space."""
+    counts = np.diff(term_offsets)
+    nblocks = (counts + block_size - 1) // block_size
+    term_idx = np.repeat(np.arange(len(counts)), nblocks)
+    block_no = (np.concatenate([np.arange(b) for b in nblocks])
+                if len(counts) else np.empty(0, dtype=np.int64))
+    bstarts = term_offsets[term_idx] + block_no * block_size
+    bends = np.minimum(bstarts + block_size, term_offsets[term_idx + 1])
+    return term_idx, block_no, bstarts, bends
+
+
 def _block_rows(terms: list[str], term_offsets: np.ndarray,
                 docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                 rbucket: int) -> pd.DataFrame:
@@ -75,14 +90,8 @@ def _block_rows(terms: list[str], term_offsets: np.ndarray,
     n = docs.size
     if n == 0:
         return pd.DataFrame(columns=_COLS)
-    counts = np.diff(term_offsets)
-    nblocks = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
-    # block start indices (global) + per-block term index / block_no
-    term_idx = np.repeat(np.arange(len(terms)), nblocks)
-    block_no = np.concatenate([np.arange(b) for b in nblocks]) \
-        if len(terms) else np.empty(0, dtype=np.int64)
-    bstarts = term_offsets[term_idx] + block_no * BLOCK_SIZE
-    bends = np.minimum(bstarts + BLOCK_SIZE, term_offsets[term_idx + 1])
+    term_idx, block_no, bstarts, bends = tile_blocks(term_offsets,
+                                                     BLOCK_SIZE)
     # delta-gap with reset at block starts (first doc absolute per block)
     gaps = docs.astype(np.uint64).copy()
     gaps[1:] -= docs[:-1].astype(np.uint64)
