@@ -22,29 +22,7 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: position of highest set bit / 7, min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(7)
-    np.maximum(nbits, 1, out=nbits)
-    ends = np.cumsum(nbits)
-    total = int(ends[-1])
-    starts = ends - nbits
-    out = np.zeros(total, dtype=np.uint8)
-    for j in range(_MAX_BYTES):
-        sel = nbits > j
-        if not sel.any():
-            break
-        pos = starts[sel] + j
-        byte = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbits[sel] - 1 > j).astype(np.uint8) << 7
-        out[pos] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return vbyte_encode_slices(v, np.array([0], dtype=np.int64))[0]
 
 
 def vbyte_encode_slices(values: np.ndarray,

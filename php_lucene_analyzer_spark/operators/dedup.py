@@ -34,9 +34,13 @@ def _stable_u64(data: bytes) -> int:
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Keep the smallest id per identical content -> (doc_id, keeper)."""
+    """Keep the smallest id per identical content -> (doc_id, keeper).
+    NULL content is one dedup group of its own (sha2(NULL) is NULL and
+    an equi-join would silently DROP those rows — coalesce to a marker
+    no real sha can collide with)."""
     h = docs.select(F.col(id_col).alias("doc_id"),
-                    F.sha2(F.col(text_col), 256).alias("h"))
+                    F.coalesce(F.sha2(F.col(text_col), 256),
+                               F.lit("<null-content>")).alias("h"))
     keep = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     return h.join(keep, "h").select("doc_id", "keeper")
 
@@ -54,12 +58,19 @@ def _minhash_batch(texts: pd.Series, n_hashes: int,
                   dtype=np.uint64)
     for i, text in enumerate(texts):
         toks = (text or "").lower().split()
+        if not toks:
+            continue  # all-max sentinel = "no signature" (excluded by LSH)
         if len(toks) < shingle_k:
-            continue
-        base = np.fromiter(
-            (_stable_u64(" ".join(toks[j:j + shingle_k]).encode())
-             for j in range(len(toks) - shingle_k + 1)),
-            dtype=np.uint64)
+            # short doc: ONE shingle = the whole token sequence — short
+            # docs match iff identical, instead of all sharing the
+            # sentinel signature (which made every short-doc pair a
+            # "perfect" near-duplicate and an O(m^2) LSH bucket)
+            shingles = [" ".join(toks)]
+        else:
+            shingles = [" ".join(toks[j:j + shingle_k])
+                        for j in range(len(toks) - shingle_k + 1)]
+        base = np.fromiter((_stable_u64(s.encode()) for s in shingles),
+                           dtype=np.uint64)
         # h_i(x) = rotate/fold of base with multiplier i (universal-ish)
         for hi in range(n_hashes):
             v = base * mults[hi]
@@ -99,7 +110,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
-    sigs = sigs.cache()
+    # empty docs carry the all-max sentinel (int64 -1 after the cast):
+    # no signature -> no LSH participation
+    sigs = sigs.filter(F.col("sig")[0] != -1).cache()
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
                  F.xxhash64(*[F.col("sig")[bi * rows_per_band + r]
@@ -171,12 +184,13 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
 
 
 def multi_table_embedding_near_dups(emb: DataFrame, n_tables: int = 4,
-                                    **kw) -> DataFrame:
+                                    seed: int = 42, **kw) -> DataFrame:
     """Union of ``n_tables`` independent-seed LSH tables (recall boost:
-    1-(1-p)^T), deduped on the pair key."""
+    1-(1-p)^T), deduped on the pair key.  Per-table seeds derive from
+    ``seed`` (a caller-passed seed no longer collides with the kwarg)."""
     out = None
     for t in range(n_tables):
-        part = embedding_near_dups(emb, seed=42 + 1000 * t, **kw)
+        part = embedding_near_dups(emb, seed=seed + 1000 * t, **kw)
         out = part if out is None else out.unionAll(part)
     return out.dropDuplicates(["vec_a", "vec_b"])
 

@@ -84,7 +84,11 @@ class ResumableIndexBuild:
         by the kill/resume test.
         """
         ids = self.ensure_ids(docs, order_cols)
-        n_docs = ids.agg(F.max("doc_id")).collect()[0][0] + 1
+        max_id = ids.agg(F.max("doc_id")).collect()[0][0]
+        if max_id is None:  # empty corpus: a valid (empty) index, not a crash
+            from .postings import POSTINGS_SCHEMA
+            return self.spark.createDataFrame([], POSTINGS_SCHEMA)
+        n_docs = max_id + 1
         n_chunks = (n_docs + self.chunk_docs - 1) // self.chunk_docs
         done = self.completed_chunks()
         ran = 0

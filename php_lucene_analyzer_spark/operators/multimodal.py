@@ -95,14 +95,27 @@ def extract_features(media: DataFrame, batch_bytes: int = 64 << 20,
 
     def gen(batches):
         for pdf in batches:
-            feats = [
-                _fake_features(bytes(p)).tolist() for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"].to_numpy(),
-                "kind": pdf["kind"],
-                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                "features": feats,
-            })
+            # enforce the byte bound by SUB-batching: a run of rows whose
+            # payloads sum past batch_bytes is flushed before decoding
+            # more (Arrow's maxRecordsPerBatch bounds rows, not bytes —
+            # one batch of large videos could otherwise hold GBs)
+            start = 0
+            acc = 0
+            sizes = [len(bytes(p)) for p in pdf["payload"]]
+            for i, sz in enumerate(sizes):
+                acc += sz
+                last = i == len(sizes) - 1
+                if acc >= batch_bytes or last:
+                    chunk = pdf.iloc[start:i + 1]
+                    feats = [_fake_features(bytes(p)).tolist()
+                             for p in chunk["payload"]]
+                    yield pd.DataFrame({
+                        "media_id": chunk["media_id"].to_numpy(),
+                        "kind": chunk["kind"],
+                        "n_bytes": sizes[start:i + 1],
+                        "features": feats,
+                    })
+                    start, acc = i + 1, 0
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         gen, schema="media_id long, kind string, n_bytes long, "

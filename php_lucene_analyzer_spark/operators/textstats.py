@@ -65,17 +65,26 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  ascii_only: bool = True) -> DataFrame:
     """Length / punctuation / stopword / repetition heuristics -> one
-    quality double in [0,1] plus its components.  Pure JVM expressions."""
-    toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    quality double in [0,1] plus its components.  Pure JVM expressions.
+
+    ``ascii_only=True`` (default) matches the DuckDB oracle exactly
+    (q_quality_score); pass False for Unicode letter/digit classes — a
+    clean Russian or CJK document otherwise tokenizes to nothing and
+    scores as punctuation spam (~0), silently discarding every non-Latin
+    corpus from a quality-filtered pipeline."""
+    tok_split = r"[^a-z0-9]+" if ascii_only else r"[^\p{L}\p{N}]+"
+    punct_cls = r"[\w\s]" if ascii_only else r"[\p{L}\p{N}\s_]"
+    toks = F.split(F.lower(F.col(text_col)), tok_split)
     toks = F.array_remove(toks, "")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
     n_stop = F.size(F.array_intersect(toks, stop_arr))
     uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
     punct_ratio = (F.length(F.regexp_replace(F.col(text_col),
-                                             r"[\w\s]", ""))
+                                             punct_cls, ""))
                    / F.greatest(F.length(text_col), F.lit(1)))
     len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
     return docs.select(
@@ -94,29 +103,44 @@ def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     """Rabin-Karp rolling-hash document fingerprints (winnowing-style
     0-mod-p selection): (doc_id, fp) rows — the containment/plagiarism
     primitive; two docs sharing many fps share long char runs."""
-    base = np.uint64(1000003)
-    bw = base ** np.uint64(window - 1)
+    base = 1000003
+    # base is odd -> invertible mod 2^64: the whole rolling-hash sequence
+    # vectorizes as a weighted prefix sum (the per-byte Python loop this
+    # replaces cost ~1M numpy-scalar iterations per MB of text):
+    #   h_i = Σ_j b[i+j]·base^(w-1-j)
+    #       = base^(w-1) · base^i · Σ_m∈[i,i+w) b[m]·inv^m   (mod 2^64)
+    inv = pow(base, -1, 1 << 64)
+
+    def _window_hashes(arr: np.ndarray, w: int) -> np.ndarray:
+        n = arr.size
+        powb = np.ones(n, dtype=np.uint64)
+        powb[1:] = np.uint64(base)
+        np.cumprod(powb, out=powb)                   # base^i (wraps mod 2^64)
+        powi = np.ones(n, dtype=np.uint64)
+        powi[1:] = np.uint64(inv)
+        np.cumprod(powi, out=powi)                   # inv^i
+        pq = np.cumsum(arr * powi, dtype=np.uint64)  # Σ b[m]·inv^m
+        s = pq[w - 1:].copy()
+        s[1:] -= pq[:n - w]
+        return np.uint64(base) ** np.uint64(w - 1) * powb[:n - w + 1] * s
 
     def gen(batches):
-        for pdf in batches:
-            ids_out, fps_out = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                b = (text or "").encode("utf-8", "ignore")
-                if len(b) < window:
-                    continue
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-                h = np.uint64(0)
-                hs = np.empty(len(b) - window + 1, dtype=np.uint64)
-                for i in range(window):
-                    h = h * base + arr[i]
-                hs[0] = h
-                for i in range(1, hs.size):
-                    h = (h - arr[i - 1] * bw) * base + arr[i + window - 1]
-                    hs[i] = h
-                sel = np.unique(hs[hs % np.uint64(keep_mod) == 0])
-                ids_out.extend([int(did)] * sel.size)
-                fps_out.extend(sel.astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": ids_out, "fp": fps_out})
+        old = np.seterr(over="ignore")  # mod-2^64 wraparound is the point
+        try:
+            for pdf in batches:
+                ids_out, fps_out = [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    b = (text or "").encode("utf-8", "ignore")
+                    if len(b) < window:
+                        continue
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                    hs = _window_hashes(arr, window)
+                    sel = np.unique(hs[hs % np.uint64(keep_mod) == 0])
+                    ids_out.extend([int(did)] * sel.size)
+                    fps_out.extend(sel.astype(np.int64).tolist())
+                yield pd.DataFrame({"doc_id": ids_out, "fp": fps_out})
+        finally:
+            np.seterr(**old)
 
     return docs.select(id_col, text_col).mapInPandas(
         gen, schema="doc_id long, fp long")

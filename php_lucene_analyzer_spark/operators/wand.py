@@ -219,9 +219,12 @@ def _score_bucket_vectorized(pdf: pd.DataFrame,
             {"doc_id": "int64", "score": "float64"})
     s = scores[hit]
     if hit.size > k:
-        part = np.argpartition(-s, k - 1)[:k]
-        # deterministic tie-break: (score desc, doc asc)
-        order = part[np.lexsort((hit[part], -s[part]))]
+        # tie-correct top-k: argpartition alone picks ARBITRARY members
+        # of a tie group at the k boundary — include every doc scoring
+        # >= the k-th best, then order by (score desc, doc asc) and cut
+        kth = -np.partition(-s, k - 1)[k - 1]
+        cand = np.flatnonzero(s >= kth)
+        order = cand[np.lexsort((hit[cand], -s[cand]))][:k]
     else:
         order = np.lexsort((hit, -s))
     return pd.DataFrame({"doc_id": (hit[order] + min_doc).astype(np.int64),
@@ -276,6 +279,9 @@ def _wand_bucket(pdf: pd.DataFrame, term_meta: list[tuple[str, float]],
     Adaptive: if the bucket's matched postings cover more than
     ``dense_threshold`` of its doc range, pruning cannot win — switch to
     the vectorized exhaustive kernel (same float contract)."""
+    if not len(pdf):
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"})
     if len(term_meta) == 1:
         rows = pdf[pdf["term"] == term_meta[0][0]]
         return _single_term_topk(rows, term_meta[0][1], k, avgdl, k1, b)
@@ -393,7 +399,11 @@ def wand_topk_many(postings: DataFrame, tstats: DataFrame, n_docs: int,
     def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for qid, meta in metas.items():
-            r = _wand_bucket(pdf, meta, k, avgdl, k1, b)
+            # restrict to THIS query's terms: the bucket holds the union
+            # of all queries' postings, which would inflate the adaptive
+            # density statistic and the dense kernel's doc-range span
+            sub = pdf[pdf["term"].isin([t for t, _ in meta])]
+            r = _wand_bucket(sub, meta, k, avgdl, k1, b)
             r.insert(0, "qid", qid)
             outs.append(r)
         return pd.concat(outs, ignore_index=True)

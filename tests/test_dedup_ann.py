@@ -153,3 +153,24 @@ def test_embedding_near_dups(spark, emb):
     assert hits >= 4  # multi-table LSH recall on near-identical vectors
     for (a, b), c in found.items():
         assert c >= 0.99
+
+
+def test_minhash_short_docs_not_all_duplicates(spark):
+    """Docs shorter than the shingle size must NOT share a sentinel
+    signature: different short docs differ, identical short docs match,
+    empty docs stay out of LSH entirely."""
+    from php_lucene_analyzer_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures)
+
+    rows = [(1, "red car"), (2, "blue sky"), (3, "red car"),
+            (4, ""), (5, None), (6, "completely different text here okay")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in
+            minhash_signatures(docs, n_hashes=16, shingle_k=3).collect()}
+    assert sigs[1] == sigs[3]          # identical short docs
+    assert sigs[1] != sigs[2]          # different short docs
+    assert sigs[4] == sigs[5] == tuple([-1] * 16)  # no-signature sentinel
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, n_hashes=16, bands=4,
+                               min_jaccard=0.9).collect()}
+    assert pairs == {(1, 3)}           # only the true duplicate pair

@@ -411,3 +411,21 @@ def test_single_term_impact_ordered_early_stop(monkeypatch):
     order = np.lexsort((docs_a.astype(np.int64), -scores))[:10]
     want = {(int(docs_a[i]), float(scores[i])) for i in order}
     assert {(r.doc_id, r.score) for r in got.itertuples()} == want
+
+
+def test_dense_kernel_tie_break_at_k_boundary():
+    """Ties straddling the k boundary must resolve by doc_id asc in the
+    dense kernel too (argpartition alone picks arbitrary tie members)."""
+    import numpy as np
+
+    import php_lucene_analyzer_spark.operators.wand as W
+    from php_lucene_analyzer_spark.operators.postings import _block_rows
+
+    n = 1200
+    docs = np.arange(n, dtype=np.uint64)
+    tfs = np.full(n, 3, dtype=np.uint64)     # all scores identical
+    dls = np.full(n, 40, dtype=np.uint64)
+    pdf = _block_rows(["t"], np.array([0, n], dtype=np.int64),
+                      docs, tfs, dls, 0)
+    got = W._score_bucket_vectorized(pdf, [("t", 1.5)], 10, 40.0, W.K1, W.B)
+    assert got["doc_id"].tolist() == list(range(10))
