@@ -104,5 +104,6 @@ def to_codepoints(text: str) -> np.ndarray:
     """UTF-32 view of a Python str as an int64 codepoint array."""
     if not text:
         return np.empty(0, dtype=np.int64)
-    order = "<" if sys.byteorder == "little" else ">"
-    return np.frombuffer(text.encode("utf-32-le"), dtype=f"{order}u4").astype(np.int64)
+    # dtype must be LE unconditionally — the encoding above is explicit LE
+    # (keying on sys.byteorder would byte-swap every codepoint on BE hosts)
+    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)

@@ -47,6 +47,7 @@ class Dictionary:
     suffixes: dict[str, list[Affix]] = field(default_factory=dict)  # by append
     iconv: list[tuple[str, str]] = field(default_factory=list)
     oconv: list[tuple[str, str]] = field(default_factory=list)
+    flag_aliases: list[frozenset[str]] = field(default_factory=list)
     ignore: str = ""
     keepcase: str | None = None
     needaffix: str | None = None
@@ -76,32 +77,46 @@ class _FlagParser:
         return frozenset(s)
 
 
-def _apply_conv(word: str, table: list[tuple[str, str]]) -> str:
+class _ConvTable:
     """Greedy longest-match character conversion (applyMappings
-    Dictionary.php:1332-1370)."""
-    if not table:
-        return word
-    out = []
-    i = 0
-    while i < len(word):
-        best = None
-        for src, dst in table:
-            if word.startswith(src, i) and (
-                    best is None or len(src) > len(best[0])):
-                best = (src, dst)
-        if best:
-            out.append(best[1])
-            i += len(best[0])
-        else:
-            out.append(word[i])
-            i += 1
-    return "".join(out)
+    Dictionary.php:1332-1370) with a first-char index — built once per
+    table instead of scanning all pairs at every character (uk_UA: 64
+    ICONV pairs x 126k dictionary words)."""
+
+    def __init__(self, pairs: list[tuple[str, str]]):
+        self.by_first: dict[str, list[tuple[str, str]]] = {}
+        for src, dst in pairs:
+            self.by_first.setdefault(src[0], []).append((src, dst))
+        for lst in self.by_first.values():
+            lst.sort(key=lambda p: -len(p[0]))  # longest match first
+
+    def apply(self, word: str) -> str:
+        if not self.by_first:
+            return word
+        out = []
+        i = 0
+        while i < len(word):
+            for src, dst in self.by_first.get(word[i], ()):
+                if word.startswith(src, i):
+                    out.append(dst)
+                    i += len(src)
+                    break
+            else:
+                out.append(word[i])
+                i += 1
+        return "".join(out)
+
+
+def _apply_conv(word: str, table: list[tuple[str, str]]) -> str:
+    """Compat wrapper over _ConvTable (hot paths build the table once)."""
+    return _ConvTable(table).apply(word) if table else word
 
 
 def parse_affix_file(text: str) -> tuple[Dictionary, _FlagParser]:
     d = Dictionary()
     flags = _FlagParser()
     aliases: list[frozenset[str]] = []
+    af_seen_count = False
     lines = text.splitlines()
     i = 0
     while i < len(lines):
@@ -113,10 +128,17 @@ def parse_affix_file(text: str) -> tuple[Dictionary, _FlagParser]:
         if key == "FLAG" and len(parts) > 1:
             flags = _FlagParser({"long": "long", "num": "num"}.get(
                 parts[1], "char"))
-        elif key == "AF" and len(parts) > 1 and parts[1].isdigit() and len(parts) == 2:
-            aliases = []
         elif key == "AF":
-            aliases.append(flags.parse(parts[1]))
+            # POSITIONAL, like parseAlias (Dictionary.php:1204-1225): the
+            # FIRST AF line is the count, every later one is alias data —
+            # a numeric alias under FLAG num must not reset the table,
+            # and an AF line with no flags maps to the empty set
+            if not af_seen_count:
+                af_seen_count = True
+                aliases = []
+            else:
+                aliases.append(flags.parse(parts[1])
+                               if len(parts) > 1 else frozenset())
         elif key == "IGNORE" and len(parts) > 1:
             d.ignore = parts[1]
         elif key in ("ICONV", "OCONV") and len(parts) == 2 and parts[1].isdigit():
@@ -167,10 +189,12 @@ def parse_affix_file(text: str) -> tuple[Dictionary, _FlagParser]:
                         cond_s + "$")
                     d.suffixes.setdefault(app, []).append(
                         Affix(flag, cross, strip, app, cont, cond))
+    d.flag_aliases = aliases
     return d, flags
 
 
 def parse_dic_file(text: str, d: Dictionary, flags: _FlagParser) -> None:
+    conv = _ConvTable(d.iconv)
     lines = text.splitlines()
     for line in lines[1:]:  # first line = word count
         line = line.split("\t")[0].strip()
@@ -178,10 +202,19 @@ def parse_dic_file(text: str, d: Dictionary, flags: _FlagParser) -> None:
             continue
         if "/" in line:
             word, fs = line.split("/", 1)
-            fset = flags.parse(fs.split()[0]) if fs else frozenset()
+            fs = fs.split()[0] if fs.split() else ""
+            # with AF aliases defined, a dic flag field is an alias
+            # ORDINAL (readDictionaryFiles resolves it the same way the
+            # affix continuation `/N` does)
+            if d.flag_aliases and fs.isdigit():
+                ordn = int(fs)
+                fset = (d.flag_aliases[ordn - 1]
+                        if 0 < ordn <= len(d.flag_aliases) else frozenset())
+            else:
+                fset = flags.parse(fs) if fs else frozenset()
         else:
             word, fset = line.split()[0] if line.split() else line, frozenset()
-        word = _apply_conv(word, d.iconv)
+        word = conv.apply(word)
         if d.ignore:
             word = "".join(c for c in word if c not in d.ignore)
         if not word:
@@ -244,6 +277,7 @@ class Stemmer:
     def __init__(self, d: Dictionary, longest_only: bool = False):
         self.d = d
         self.longest_only = longest_only
+        self._iconv = _ConvTable(d.iconv)
         self._cache: dict[str, list[str]] = {}
 
     # -- public ------------------------------------------------------------
@@ -251,11 +285,19 @@ class Stemmer:
         got = self._cache.get(word)
         if got is not None:
             return got
+        # input cleaning FIRST, like the reference (Stemmer.php:91-97 ->
+        # Dictionary::cleanInput :1271-1306): ICONV rewrites + IGNORE
+        # removal — a Ukrainian word with a combining stress mark must
+        # stem like its clean form, since the .dic side was cleaned too
+        cleaned = self._iconv.apply(word)
+        if self.d.ignore:
+            cleaned = "".join(c for c in cleaned if c not in self.d.ignore)
         seen: list[str] = []
-        for variant, forbid_keepcase in self._case_variants(word):
-            for s in self._stem(variant, forbid_keepcase):
-                if s not in seen:
-                    seen.append(s)
+        if cleaned:
+            for variant, forbid_keepcase in self._case_variants(cleaned):
+                for s in self._stem(variant, forbid_keepcase):
+                    if s not in seen:
+                        seen.append(s)
         if self.longest_only and seen:
             seen = [max(seen, key=len)]
         if len(self._cache) < 1_000_000:
@@ -264,14 +306,16 @@ class Stemmer:
 
     # -- internals ----------------------------------------------------------
     def _case_variants(self, w: str):
-        """EXACT / lower(title-case words may match lowercase entries) /
-        title — Stemmer.php caseOf/stemWord2 :89-151."""
+        """Case-variant union per caseOf/stemWord2 (Stemmer.php:89-151):
+        UPPER -> exact + title fold + lower fold; TITLE -> exact + lower
+        fold; mixed/lower -> exact only.  Folded variants reject
+        KEEPCASE-flagged entries."""
         yield w, False
-        lw = w.lower()
-        if lw != w:
-            # non-lowercase input also tries the lowercase form, but
-            # KEEPCASE-flagged dictionary entries must then be rejected
-            yield lw, True
+        if len(w) > 1 and w.isupper():
+            yield w[0] + w[1:].lower(), True
+            yield w.lower(), True
+        elif w[:1].isupper() and w[1:] == w[1:].lower():
+            yield w.lower(), True
 
     def _entry_ok(self, fsets: list[frozenset[str]], affix_flag: str | None,
                   forbid_keepcase: bool) -> bool:
@@ -297,20 +341,23 @@ class Stemmer:
         if entry and self._entry_ok(entry, None, forbid_keepcase):
             out.append(word)
         out.extend(self._strip(word, forbid_keepcase, prefix_depth=0,
-                               suffix_depth=0, required_flags=None))
+                               suffix_depth=0))
         return out
 
     def _candidates(self, word: str, table: dict[str, list[Affix]],
                     is_prefix: bool):
-        """All affix rules whose append matches word's edge."""
-        for ln in range(1, len(word)):
-            edge = word[:ln] if is_prefix else word[len(word) - ln:]
+        """All affix rules whose append matches word's edge — INCLUDING
+        the zero-length append (strip-only rules like 'SFX V й 0 [їі]й'
+        in the shipped ru_RU/uk_UA dictionaries; the reference's suffix
+        loop tries the empty suffix first, Stemmer.php:412-425)."""
+        for ln in range(0, len(word)):
+            edge = word[:ln] if is_prefix else word[len(word) - ln:] \
+                if ln else ""
             for a in table.get(edge, ()):
                 yield a
 
     def _strip(self, word: str, forbid_keepcase: bool, prefix_depth: int,
-               suffix_depth: int, required_flags: frozenset[str] | None,
-               ) -> list[str]:
+               suffix_depth: int) -> list[str]:
         """Remove one affix and validate/recurse (Stemmer::stem/applyAffix
         :296-685, depth-limited exactly like Lucene: 1 prefix, 2 suffixes)."""
         out: list[str] = []
@@ -320,8 +367,6 @@ class Stemmer:
                 rest = a.strip + word[len(a.append):]
                 if a.cond and not a.cond.search(rest):
                     continue
-                if required_flags is not None and a.flag not in required_flags:
-                    continue
                 entry = d.lookup(rest)
                 if entry and self._entry_ok(entry, a.flag, forbid_keepcase):
                     out.append(rest)
@@ -329,8 +374,8 @@ class Stemmer:
                 # requiring suffix rules flagged on the same entry
                 if a.cross:
                     for s in self._strip(rest, forbid_keepcase,
-                                         prefix_depth=1, suffix_depth=suffix_depth,
-                                         required_flags=None):
+                                         prefix_depth=1,
+                                         suffix_depth=suffix_depth):
                         # validate the prefix flag against the final entry
                         fsets = d.lookup(s)
                         if fsets and self._entry_ok(fsets, a.flag,
@@ -340,8 +385,6 @@ class Stemmer:
             for a in self._candidates(word, d.suffixes, False):
                 rest = word[: len(word) - len(a.append)] + a.strip
                 if a.cond and not a.cond.search(rest):
-                    continue
-                if required_flags is not None and a.flag not in required_flags:
                     continue
                 entry = d.lookup(rest)
                 if entry and self._entry_ok(entry, a.flag, forbid_keepcase):

@@ -328,7 +328,12 @@ class EnglishStemmerPolicy:
         if len(forms) == 1:
             s = forms[0]
         else:
-            survivors = [f for f in forms if f != word]
+            # remove exactly ONE identity occurrence (EnglishStemmer.php
+            # :33 unsets a single array element; normal_forms does not
+            # dedup, so duplicate identities must leave survivors behind)
+            survivors = list(forms)
+            if word in survivors:
+                survivors.remove(word)
             s = survivors[0] if len(survivors) == 1 else word
         if len(self._cache) < 1_000_000:
             self._cache[word] = s

@@ -95,7 +95,7 @@ def token_spans(text: str) -> list[tuple[int, int, str]]:
     cls = C.classify(cps)
 
     # format/combining chars are transparent: inherit previous char's class
-    ext = cls == C.EXTEND
+    ext = cls == C.EXTEND  # original EXTEND positions (kept for CJK below)
     if ext.any():
         idx = np.arange(n)
         src = np.where(ext, 0, idx)
@@ -135,8 +135,15 @@ def token_spans(text: str) -> list[tuple[int, int, str]]:
                 spans.append((s, e, ttype))
         for klass, ttype in ((C.HAN, TYPE_IDEOGRAPHIC),
                              (C.HIRAGANA, TYPE_HIRAGANA)):
-            for i in np.flatnonzero(cls == klass).tolist():
-                spans.append((i, i + 1, ttype))
+            # one token per character, but trailing combining/format
+            # chars ATTACH to the preceding ideograph (a bare mark must
+            # not become its own token with its own position) — base
+            # chars are the non-inherited positions
+            for i in np.flatnonzero((cls == klass) & ~ext).tolist():
+                j = i + 1
+                while j < n and ext[j]:
+                    j += 1
+                spans.append((i, j, ttype))
         spans.sort()
     return spans
 

@@ -69,12 +69,15 @@ def split_word(term: str) -> list[tuple[str, int, int]]:
         s, e = i, j
         if e - s > 0:
             parts.append((term[s:e], s, e))
-        i = j
-    # drop a trailing possessive part: [... , ("s", k, k+1)] preceded by '
-    if (len(parts) >= 2 and parts[-1][0] in ("s", "S")
-            and parts[-1][1] >= 1 and term[parts[-1][1] - 1] in ("'", "’")
-            and parts[-1][2] == n):
-        parts.pop()
+        # possessive stripping after EVERY subword, not only the last:
+        # a subword followed by 's + (end | delimiter) swallows the 's
+        # (WordDelimiterIterator::next :158-160 sets skipPossessive;
+        # endsWithPossessive :278-286 — ASCII apostrophe only)
+        if (e + 1 < n and term[e] == "'" and term[e + 1] in ("s", "S")
+                and (e + 2 == n or cls[e + 2] == _DELIM)):
+            i = e + 2
+        else:
+            i = j
     return parts
 
 

@@ -230,3 +230,25 @@ def test_analyzer_handles_adversarial_inputs():
         assert all(isinstance(t, str) for t in terms)
         toks = analyze(text)
         assert all(t.pos_inc >= 0 for t in toks)
+
+
+def test_combining_mark_attaches_to_ideograph():
+    """A combining mark after a Han char joins the preceding one-char
+    ideographic token instead of becoming its own token."""
+    from php_lucene_analyzer_spark.analysis.tokenizer import (
+        standard_tokenize)
+
+    toks = standard_tokenize("漢́字")
+    assert [(t.term, t.start, t.end) for t in toks] \
+        == [("漢́", 0, 2), ("字", 2, 3)]
+
+
+def test_possessive_stripped_mid_token():
+    """'s is swallowed after EVERY subword (followed by end OR another
+    delimiter), ASCII apostrophe only — WordDelimiterIterator :158,278."""
+    from php_lucene_analyzer_spark.analysis.word_delimiter import split_word
+
+    assert [p[0] for p in split_word("Bob's-Burgers")] == ["Bob", "Burgers"]
+    assert [p[0] for p in split_word("O'Neil's")] == ["O", "Neil"]
+    # curly apostrophe is NOT the reference's possessive marker
+    assert [p[0] for p in split_word("Bob’s")] == ["Bob", "s"]

@@ -227,3 +227,39 @@ def test_russian_end_to_end_index_and_query(spark):
             wand_topk_terms(p, ts, 4, avgdl, qterms, k=4).collect()}
     id_of = {r["path"]: r["doc_id"] for r in ids.collect()}
     assert hits == {id_of["a.txt"], id_of["b.txt"]}
+
+
+def test_stemmer_cleans_input_iconv_ignore():
+    """unique_stems applies ICONV + IGNORE to the INPUT word, like
+    Dictionary::cleanInput via Stemmer.php:91-97 (uk_UA stress marks)."""
+    aff = "IGNORE ́\nICONV 1\nICONV ’ '\nSFX S Y 1\nSFX S 0 s .\n"
+    st = Stemmer(load(aff, ["1\ncat's\n"]))
+    assert st.unique_stems("cát’s") == ["cat's"]
+
+
+def test_zero_append_affix_rules_fire():
+    """Strip-only rules ('SFX V y 0 cond') must apply — the shipped
+    ru_RU/uk_UA dictionaries rely on them."""
+    st = Stemmer(load("SFX V Y 1\nSFX V y 0 [a-z]y\n", ["1\ncrazy/V\n"]))
+    assert st.unique_stems("craz") == ["crazy"]
+
+
+def test_case_variant_union_upper_title():
+    """UPPER input tries exact+title+lower; TITLE tries exact+lower;
+    mixed-case tries exact only (stemWord2/caseOf :89-151)."""
+    st = Stemmer(load("SFX S Y 1\nSFX S 0 s .\n", ["2\nLondon/S\ncab/S\n"]))
+    assert st.unique_stems("LONDON") == ["London"]
+    assert st.unique_stems("LONDONS") == ["London"]
+    assert st.unique_stems("Cab") == ["cab"]
+    assert st.unique_stems("cAb") == []      # mixed case: exact only
+
+
+def test_af_alias_positional_and_dic_ordinals():
+    """First AF line is the count (even under FLAG num); dic flag fields
+    resolve as alias ordinals; an alias may map to no flags."""
+    aff = "FLAG num\nAF 2\nAF 5\nAF 6,7\nSFX 5 Y 1\nSFX 5 0 s .\n"
+    st = Stemmer(load(aff, ["1\ncat/1\n"]))
+    assert st.unique_stems("cats") == ["cat"]
+    st2 = Stemmer(load("AF 2\nAF\nAF S\nSFX S Y 1\nSFX S 0 s .\n",
+                       ["1\ndog/2\n"]))
+    assert st2.unique_stems("dogs") == ["dog"]
