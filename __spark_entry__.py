@@ -34,8 +34,16 @@ def _fullchain_wand(spark: SparkSession, sf_dir: str,
     n, avgdl = ft.corpus_stats(tdf)
     tstats = ft.term_stats(tdf).cache()
     postings = build_postings(tdf).cache()
-    # whole query set in ONE Spark job (bit-identical to per-query WAND)
-    return wand_topk_many(postings, tstats, n, avgdl, queries, k=10)
+    # whole query set in ONE Spark job (bit-identical to per-query WAND);
+    # materialize, then UNPERSIST the build caches — the driver calls
+    # these entries repeatedly and each call mints fresh plans, so
+    # leaked caches would accumulate until eviction thrash
+    res = wand_topk_many(postings, tstats, n, avgdl, queries, k=10)
+    rows = res.collect()
+    schema = res.schema
+    for df in (tdf, tstats, postings):
+        df.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,7 +78,12 @@ def _phrase_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = phrase_match(pos, phrase).select(
             F.lit(qid).alias("qid"), "doc_id", "n_matches")
         out = m if out is None else out.unionAll(m)
-    return out
+    # materialize + free the positional cache (same leak shape as
+    # _fullchain_wand: the driver invokes this repeatedly)
+    rows = out.collect()
+    schema = out.schema
+    pos.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

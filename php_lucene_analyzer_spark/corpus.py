@@ -73,9 +73,18 @@ def _make_big_vocab(size: int) -> list[str]:
     out = list(_VOCAB)
     n = len(_IDENT_STEMS)
     i = 0
-    while len(out) < size:
+    while len(out) < size and i < n ** 3:
         a, b, c = i % n, (i // n) % n, (i // (n * n)) % n
         out.append(_IDENT_STEMS[a] + _IDENT_STEMS[b] + _IDENT_STEMS[c])
+        i += 1
+    i = 0
+    while len(out) < size:  # 4-stem tuples past n^3 (no duplicate terms)
+        if i >= n ** 4:
+            raise ValueError(f"vocab_size {size} exceeds generatable terms")
+        a, b, c, e = (i % n, (i // n) % n,
+                      (i // (n * n)) % n, (i // (n ** 3)) % n)
+        out.append(_IDENT_STEMS[a] + _IDENT_STEMS[b]
+                   + _IDENT_STEMS[c] + _IDENT_STEMS[e])
         i += 1
     return out[:size]
 

@@ -92,16 +92,18 @@ def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
 
 
 def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "content") -> DataFrame:
+                        text_col: str = "content",
+                        rbucket_base: int = 0) -> DataFrame:
     """Fused analyze (FULL chain, graph positions) -> positional blocks.
     Requires doc-range-partitioned input (with_doc_ids output) — same
     segment model as postings.index_corpus: zero extra shuffle, heavy
-    terms split across all partitions."""
+    terms split across all partitions.  ``rbucket_base``: per-segment
+    offset for multi-segment builders (see postings.index_corpus)."""
 
     def build(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        pid = rbucket_base + TaskContext.get().partitionId()
         # per-term accumulators: docs, per-doc counts, flat positions
         acc: dict[str, tuple] = {}
         for pdf in batches:

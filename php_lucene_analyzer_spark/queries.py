@@ -128,13 +128,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality scoring (training-data pipeline op)."""
     tok = _tok_rows(spark, sf_dir)
+    n_stop = F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0))
     agg = tok.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
-        F.round(F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0))
-                / F.count("*"), 4).alias("stop_ratio"))
-    return agg.withColumn("is_english", F.col("stop_ratio") > 0.05) \
-              .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio",
+        F.round(n_stop / F.count("*"), 4).alias("stop_ratio"),
+        # is_english compares the UNROUNDED ratio, same as the oracle —
+        # a ratio in (0.05, 0.05005) must not flip via the 4dp rounding
+        (n_stop / F.count("*") > 0.05).alias("is_english"))
+    return agg.select("doc_id", "n_tokens", "avg_token_len", "stop_ratio",
                       "is_english")
 
 
@@ -228,15 +230,19 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (pushdown check)."""
+    """TPC-H Q1: scan-filter-agg with the full 8 aggregates (pushdown
+    check; sum_charge exercises a 3-column expression)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("sum_disc_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2)
+                  .alias("sum_charge"),
                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
@@ -327,8 +333,6 @@ def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row content sha256 (the input_hint invariant surfaced as a
     value-matched contract query; the build-time audit is
     operators/fulltext.py::content_invariant_violations)."""
-    import pyspark.sql.functions as F
-
     return (_docs(spark, sf_dir)
             .select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
             .orderBy("doc_id").limit(200))

@@ -37,19 +37,26 @@ def _index_batch(batch_df: DataFrame, epoch_id: int, out_dir: str,
     # micro-batches are small; a single-partition window is fine here
     # (batch builds use the two-phase range scheme in with_doc_ids)
     w = F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("repo", "path"))
+    # epoch+1: Structured Streaming batch ids are 0-BASED — epoch 0 must
+    # not mint doc ids 0,1,2,... that collide with a batch-built index
+    # the segments are unioned with (the module contract is "ids above
+    # every existing id")
+    doc_base = (int(epoch_id) + 1) << EPOCH_SHIFT
+    # rbucket base keeps stream buckets disjoint from batch buckets AND
+    # from other epochs (index_corpus grew this parameter for exactly
+    # this caller; correctness never depends on it — WAND orders blocks
+    # by first_doc — but bucket balance does)
+    rb_base = (int(epoch_id) + 1) << 32
     ids = (batch_df
-           .withColumn("doc_id",
-                       (F.lit(int(epoch_id) << EPOCH_SHIFT)
-                        + w - 1).cast("long"))
+           .withColumn("doc_id", (F.lit(doc_base) + w - 1).cast("long"))
            .localCheckpoint(eager=False))  # reused by both index kinds
     seg = os.path.join(out_dir, f"epoch={int(epoch_id)}")
-    index_corpus(ids, "doc_id", "content") \
-        .withColumn("rbucket", F.lit(int(epoch_id)).cast("long")) \
+    index_corpus(ids, "doc_id", "content", rbucket_base=rb_base) \
         .write.mode("overwrite").parquet(seg)
     if positional_dir is not None:
         pseg = os.path.join(positional_dir, f"epoch={int(epoch_id)}")
-        positional_postings(ids, "doc_id", "content") \
-            .withColumn("rbucket", F.lit(int(epoch_id)).cast("long")) \
+        positional_postings(ids, "doc_id", "content",
+                            rbucket_base=rb_base) \
             .write.mode("overwrite").parquet(pseg)
 
 

@@ -80,11 +80,15 @@ def running_user_totals(spark: SparkSession, input_dir: str,
 
 
 def batch_equivalent(spark: SparkSession, input_dir: str,
-                     window: str = "5 minutes") -> DataFrame:
+                     window: str = "5 minutes",
+                     slide: str | None = None) -> DataFrame:
     """The batch query the streaming result must agree with on closed
-    windows (used by the test as the oracle)."""
+    windows (used by the test as the oracle).  ``slide`` must match the
+    streaming side's — a sliding stream against a tumbling oracle
+    mismatches on every non-aligned window."""
     ev = spark.read.parquet(input_dir).withColumn(
         "ts", F.col("ts").cast("timestamp"))
-    return (ev.groupBy(F.window("ts", window), "event_type")
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (ev.groupBy(win, "event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("total_value")))
