@@ -48,6 +48,9 @@ class Dictionary:
     iconv: list[tuple[str, str]] = field(default_factory=list)
     oconv: list[tuple[str, str]] = field(default_factory=list)
     flag_aliases: list[frozenset[str]] = field(default_factory=list)
+    # word -> st: stem exception (Stemmer::newStem returns the exception
+    # instead of the matched form, Stemmer.php:234-274)
+    stem_exceptions: dict[str, str] = field(default_factory=dict)
     ignore: str = ""
     keepcase: str | None = None
     needaffix: str | None = None
@@ -197,9 +200,13 @@ def parse_dic_file(text: str, d: Dictionary, flags: _FlagParser) -> None:
     conv = _ConvTable(d.iconv)
     lines = text.splitlines()
     for line in lines[1:]:  # first line = word count
-        line = line.split("\t")[0].strip()
-        if not line or line.startswith("#"):
+        raw_fields = line.strip().split()
+        if not raw_fields or raw_fields[0].startswith("#"):
             continue
+        line = raw_fields[0]
+        # morph fields after the word: st:<stem> is the stem exception
+        st_exc = next((f[3:] for f in raw_fields[1:]
+                       if f.startswith("st:")), None)
         if "/" in line:
             word, fs = line.split("/", 1)
             fs = fs.split()[0] if fs.split() else ""
@@ -222,6 +229,8 @@ def parse_dic_file(text: str, d: Dictionary, flags: _FlagParser) -> None:
         if d.ignore_case:
             word = word.lower()
         d.words.setdefault(word, []).append(fset)
+        if st_exc:
+            d.stem_exceptions[word] = st_exc
 
 
 def load(aff_text: str, dic_texts: list[str],
@@ -278,6 +287,7 @@ class Stemmer:
         self.d = d
         self.longest_only = longest_only
         self._iconv = _ConvTable(d.iconv)
+        self._oconv = _ConvTable(d.oconv)
         self._cache: dict[str, list[str]] = {}
 
     # -- public ------------------------------------------------------------
@@ -293,9 +303,14 @@ class Stemmer:
         if self.d.ignore:
             cleaned = "".join(c for c in cleaned if c not in self.d.ignore)
         seen: list[str] = []
+        exc = self.d.stem_exceptions
         if cleaned:
             for variant, forbid_keepcase in self._case_variants(cleaned):
                 for s in self._stem(variant, forbid_keepcase):
+                    # st: stem exception, then OCONV output cleaning —
+                    # newStem order (Stemmer.php:234-274)
+                    s = exc.get(s, s)
+                    s = self._oconv.apply(s)
                     if s not in seen:
                         seen.append(s)
         if self.longest_only and seen:

@@ -263,3 +263,15 @@ def test_af_alias_positional_and_dic_ordinals():
     st2 = Stemmer(load("AF 2\nAF\nAF S\nSFX S Y 1\nSFX S 0 s .\n",
                        ["1\ndog/2\n"]))
     assert st2.unique_stems("dogs") == ["dog"]
+
+
+def test_oconv_output_cleaning_and_stem_exceptions():
+    """Stems pass through st: exceptions then OCONV (newStem,
+    Stemmer.php:234-274 / applyMappings on output)."""
+    aff = "OCONV 1\nOCONV ue ü\nSFX S Y 1\nSFX S 0 s .\n"
+    dic = "2\nfuehrer/S st:führer\nblue/S\n"
+    st = Stemmer(load(aff, [dic]))
+    # st: exception wins over the matched dictionary form, then OCONV
+    assert st.unique_stems("fuehrers") == ["führer"]
+    # OCONV applies to every output stem
+    assert st.unique_stems("blues") == ["blü"]
