@@ -267,6 +267,24 @@ class MorphInfoModel:
         with open(path, encoding="utf-8") as f:
             return cls.parse(f.read())
 
+    def serialize(self) -> str:
+        """The writeToFile text layout (Morphology.php:145-176) —
+        parse(serialize(m)) reproduces the model (modulo the read-side
+        heuristic dedup, which is idempotent)."""
+        out = [str(len(self.separators))]
+        for sep in self.separators:
+            out.append(str(len(sep)))
+            out.extend(str(v) for v in sep)
+        out.extend(str(r) for r in self.rules_id)
+        out.append(str(len(self.rules)))
+        for block in self.rules:
+            out.append(str(len(block)))
+            out.extend(f"{sl}|{repl}|{fi}|{ni}"
+                       for sl, repl, fi, ni in block)
+        out.append(str(len(self.grammar)))
+        out.extend(self.grammar)
+        return "\n".join(out) + "\n"
+
     def check(self, word: str) -> bool:
         return bool(word) and all(
             c == "-" or "a" <= c <= "z" for c in word)

@@ -189,3 +189,16 @@ def test_real_morph_info_lemma_expand(real_model):
     terms = [(t.term, t.pos_inc) for t in out]
     assert ("child", 1) in terms
     assert ("running", 1) in terms and ("run", 0) in terms
+
+
+def test_morph_info_serialize_roundtrip(real_model):
+    """serialize() emits the reference's writeToFile layout; a re-parse
+    reproduces the full model (all 55,457 separators, rules, grammar)."""
+    from php_lucene_analyzer_spark.analysis.morphology import MorphInfoModel
+
+    again = MorphInfoModel.parse(real_model.serialize())
+    assert again.separators == real_model.separators
+    assert again.rules_id == real_model.rules_id
+    assert again.rules == real_model.rules
+    assert again.grammar == real_model.grammar
+    assert again.normal_forms("mice") == ["mouse"]
