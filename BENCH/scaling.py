@@ -69,8 +69,16 @@ def main() -> None:
     levels = tuple(int(x) for x in
                    os.environ.get("CPU_LEVELS", "8,32").split(","))
     results = {}
+    # INTERLEAVE the levels per rep (8,32,8,32,...): this VM throttles
+    # aggregate CPU after sustained load, so sequential blocks would bias
+    # whichever level runs later — interleaving exposes both levels to
+    # the same drift and the efficiency RATIO stays meaningful
+    samples: dict[int, list[float]] = {c: [] for c in levels}
+    for _ in range(reps):
+        for cpus in levels:
+            samples[cpus].append(run_once(cpus, cache_dir))
     for cpus in levels:
-        times = [run_once(cpus, cache_dir) for _ in range(reps)]
+        times = samples[cpus]
         med = statistics.median(times)
         results[f"local[{cpus}]"] = {
             "times_sec": [round(t, 2) for t in times],
