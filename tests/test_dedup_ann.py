@@ -174,3 +174,20 @@ def test_minhash_short_docs_not_all_duplicates(spark):
              minhash_lsh_pairs(docs, n_hashes=16, bands=4,
                                min_jaccard=0.9).collect()}
     assert pairs == {(1, 3)}           # only the true duplicate pair
+
+
+def test_quality_score_unicode_mode(spark):
+    """ascii_only=False scores clean non-Latin text as text, not as
+    punctuation spam (the ASCII default tokenizes Cyrillic to nothing)."""
+    rows = [(1, "хороший русский текст про поиск и индексы " * 4),
+            (2, "a clean english document about search indexes " * 4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["doc_id"]: r for r in
+           textstats.quality_score(docs, "doc_id", "text",
+                                   ascii_only=False).collect()}
+    assert uni[1]["n_tokens"] > 10 and uni[1]["quality"] > 0.3
+    assert uni[2]["quality"] > 0.3
+    asc = {r["doc_id"]: r for r in
+           textstats.quality_score(docs, "doc_id", "text").collect()}
+    assert asc[1]["n_tokens"] == 0          # the documented ASCII limit
+    assert asc[2]["quality"] == uni[2]["quality"]  # latin text unaffected
