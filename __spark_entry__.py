@@ -7,10 +7,14 @@
 ``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents (same column names,
                  types aligned, floats rounded at the contract boundary).
 
-Entries present in ``queries`` but not ``oracle_sql`` are the genuinely
-non-SQL-expressible ones (the full analyzer chain + WAND engine — its SQL
-oracle cannot tokenize with WDGF/Porter2); those are validated instead by
-golden vectors and a pure-pandas oracle in tests/ (rows-only check here).
+The single entry present in ``queries`` but not ``oracle_sql`` is the
+genuinely non-SQL-expressible one (``wand_fullchain``: the full analyzer
+chain + WAND engine — a SQL oracle cannot tokenize with WDGF/Porter2);
+it is validated instead by golden vectors and a pure-pandas oracle in
+tests/ (rows-only check here).  phrase/simhash/lsh entries run the REAL
+engine operators (positional index, Arrow-batched simhash, banded LSH)
+in their SQL-reproducible configuration, so the driver's value-hash gate
+covers them.
 """
 
 from __future__ import annotations
@@ -60,38 +64,11 @@ def _wand_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
-def _phrase_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-phrase matching over the positional index (full-chain
-    positions incl. stopword holes — not SQL-expressible; verified
-    against a brute-force position oracle in tests/test_positional.py)."""
-    import pyspark.sql.functions as F
-
-    from php_lucene_analyzer_spark.operators.positional import (
-        phrase_match, positional_postings)
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pos = positional_postings(
-        docs.repartitionByRange(4, "doc_id"), "doc_id", "text").cache()
-    out = None
-    for qid, phrase in (("p1", "merge join"), ("p2", "fast merge join"),
-                        ("p3", "the spark stream")):
-        m = phrase_match(pos, phrase).select(
-            F.lit(qid).alias("qid"), "doc_id", "n_matches")
-        out = m if out is None else out.unionAll(m)
-    # materialize + free the positional cache (same leak shape as
-    # _fullchain_wand: the driver invokes this repeatedly)
-    rows = out.collect()
-    schema = out.schema
-    pos.unpersist()
-    return spark.createDataFrame(rows, schema)
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from php_lucene_analyzer_spark.queries import QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["wand_fullchain"] = _wand_suite  # rows-only: non-SQL-expressible
-    out["phrase_match"] = _phrase_suite  # rows-only: non-SQL-expressible
     return out
 
 

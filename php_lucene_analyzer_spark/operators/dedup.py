@@ -4,10 +4,12 @@
                     matched form; ``exact_dedup`` here returns the keep
                     set directly)
 * MinHash + LSH   — shingle -> 64 portable minhashes -> band buckets ->
-                    candidate join -> exact-Jaccard verification.  The
-                    candidate join is the scalable near-dup path: no
-                    full O(n²) pair enumeration; buckets shuffle-join on
-                    the band key.
+                    candidate join -> ESTIMATED-Jaccard verification
+                    (matching-signature fraction — the standard LSH
+                    verify; an exact set-Jaccard pass would re-shingle
+                    both docs per candidate).  The candidate join is the
+                    scalable near-dup path: no full O(n²) pair
+                    enumeration; buckets shuffle-join on the band key.
 * SimHash         — 64-bit sign-of-weighted-sum fingerprint; near-dups
                     differ in few bits (Hamming).  Banded on 4x16-bit
                     sub-keys for candidate generation (Charikar/Manku
@@ -197,10 +199,24 @@ def multi_table_embedding_near_dups(emb: DataFrame, n_tables: int = 4,
 
 # ---------------------------------------------------------------- SimHash
 
+def _md5_u64(data: bytes) -> int:
+    """First 8 md5 digest bytes, little-endian — equals DuckDB's
+    ``md5_number_upper``, which is what makes the simhash contract query
+    reproducible by the SQL oracle bit-for-bit."""
+    return struct.unpack("<Q", hashlib.md5(data).digest()[:8])[0]
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", hasher: str = "blake2b") -> DataFrame:
     """(doc_id, simhash long) — 64-bit Charikar fingerprint over unigram
-    term frequencies (bit b is the sign of Σ tf·(±1 per term-hash bit))."""
+    term frequencies (bit b is the sign of Σ tf·(±1 per term-hash bit)).
+
+    ``hasher``: "blake2b" (engine default) or "md5" — md5 matches DuckDB's
+    ``md5_number_upper`` so the driver oracle can verify the fingerprints
+    value-for-value (oracles.py::simhash).  Both are stable across
+    processes; only the per-term hash function differs."""
+    term_hash = _md5_u64 if hasher == "md5" else _stable_u64
+
     def gen(batches):
         for pdf in batches:
             out = np.empty(len(pdf), dtype=np.int64)
@@ -211,7 +227,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
                     continue
                 uniq, counts = np.unique(np.array(toks, dtype=object),
                                          return_counts=True)
-                hs = np.fromiter((_stable_u64(t.encode()) for t in uniq),
+                hs = np.fromiter((term_hash(t.encode()) for t in uniq),
                                  dtype=np.uint64)
                 bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
                         & np.uint64(1)).astype(np.int64)

@@ -93,12 +93,17 @@ def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
 
 def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
                         text_col: str = "content",
-                        rbucket_base: int = 0) -> DataFrame:
+                        rbucket_base: int = 0, terms_fn=None) -> DataFrame:
     """Fused analyze (FULL chain, graph positions) -> positional blocks.
     Requires doc-range-partitioned input (with_doc_ids output) — same
     segment model as postings.index_corpus: zero extra shuffle, heavy
     terms split across all partitions.  ``rbucket_base``: per-segment
-    offset for multi-segment builders (see postings.index_corpus)."""
+    offset for multi-segment builders (see postings.index_corpus).
+
+    ``terms_fn``: optional text -> list[str]; positions become the token
+    indices (no graph holes).  This is the SQL-expressible tokenization
+    mode the driver oracle verifies (oracles.py::phrase_match); the
+    default (None) keeps the full chain's pos_inc/pos_len graph."""
 
     def build(batches):
         from pyspark import TaskContext
@@ -108,11 +113,15 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
         acc: dict[str, tuple] = {}
         for pdf in batches:
             for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
-                pos = -1
                 per_term: dict[str, list[int]] = {}
-                for t in analyze(text or ""):
-                    pos += t.pos_inc
-                    per_term.setdefault(t.term, []).append(pos)
+                if terms_fn is not None:
+                    for pos, term in enumerate(terms_fn(text or "")):
+                        per_term.setdefault(term, []).append(pos)
+                else:
+                    pos = -1
+                    for t in analyze(text or ""):
+                        pos += t.pos_inc
+                        per_term.setdefault(t.term, []).append(pos)
                 did = int(did)
                 for term, plist in per_term.items():
                     ps = sorted(set(plist))
@@ -189,15 +198,22 @@ def _phrase_terms(phrase: str) -> list[tuple[str, int]]:
     return out
 
 
-def phrase_match(pos_postings: DataFrame, phrase: str) -> DataFrame:
+def phrase_match(pos_postings: DataFrame, phrase: str,
+                 terms_fn=None) -> DataFrame:
     """Docs containing the exact phrase -> (doc_id, n_matches).
 
     Per rbucket: decode the phrase terms' blocks, intersect doc sets,
     then verify position alignment (p_i - p_0 == gap_i for some start
     p_0) with NumPy set intersections over the per-doc position arrays.
+
+    ``terms_fn`` must match the one the index was built with (None =
+    full chain; a tokenizer function = sequential positions).
     """
     spark = pos_postings.sparkSession
-    terms = _phrase_terms(phrase)
+    if terms_fn is not None:
+        terms = [(t, i) for i, t in enumerate(terms_fn(phrase))]
+    else:
+        terms = _phrase_terms(phrase)
     if not terms:
         return spark.createDataFrame([], "doc_id long, n_matches int")
     base_pos = terms[0][1]

@@ -10,7 +10,8 @@ regexp_replace needs the 'g' flag (Spark replaces all by default).
 from __future__ import annotations
 
 from .analysis.filters import ENGLISH_STOP_WORDS
-from .queries import ANN_K, ANN_N_QUERIES, BM25_QUERIES
+from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, LSH_BANDS,
+                      LSH_MIN_JACCARD, LSH_N_HASHES, PHRASE_QUERIES)
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
@@ -125,6 +126,97 @@ SELECT doc_id,
        min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
        min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3
 FROM sh GROUP BY 1
+"""
+
+# --- simhash: rebuild the operator's 64 bit-sums in SQL.  The per-term
+# hash bridge: operators/dedup.py::_md5_u64 (first 8 md5 digest bytes,
+# little-endian) == DuckDB md5_number_upper.  Sign bit handled by
+# assembling in HUGEINT and wrapping to int64.
+_SIMHASH_SUMS = ",\n       ".join(
+    f"sum(tf * (((h >> {b}) & 1)::BIGINT * 2 - 1)) AS s{b}"
+    for b in range(64))
+_SIMHASH_ASSEMBLE = "\n         + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+    for b in range(64))
+
+ORACLES["simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf,
+              md5_number_upper(term) AS h
+       FROM tok GROUP BY 1, 2),
+bits AS (SELECT doc_id,
+       {_SIMHASH_SUMS}
+       FROM tf GROUP BY 1),
+fp AS (SELECT doc_id, ({_SIMHASH_ASSEMBLE}) AS u FROM bits)
+SELECT d.doc_id,
+       coalesce(CASE WHEN fp.u >= 9223372036854775808::HUGEINT
+                     THEN (fp.u - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE fp.u::BIGINT END, 0) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+# --- lsh_pairs: identical md5 min-hash signatures, band keys, bucket
+# self-join and estimated Jaccard as queries.q_lsh_pairs.
+_LSH_MINS = ", ".join(f"min(md5('{i}:' || s))" for i in range(LSH_N_HASHES))
+_LSH_RPB = LSH_N_HASHES // LSH_BANDS
+_LSH_KEY = " || '|' || ".join(
+    f"sig[{_LSH_RPB}*b.b + {r + 1}]" for r in range(_LSH_RPB))
+_LSH_BAND_LIST = "[" + ", ".join(str(b) for b in range(LSH_BANDS)) + "]"
+
+ORACLES["lsh_pairs"] = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE []::VARCHAR[] END) AS s
+       FROM t),
+sig AS (SELECT doc_id, [{_LSH_MINS}] AS sig FROM sh GROUP BY 1),
+bands AS (SELECT doc_id, sig, b.b, {_LSH_KEY} AS key
+          FROM sig CROSS JOIN (SELECT unnest({_LSH_BAND_LIST}) AS b) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key
+                                  AND a.doc_id < c.doc_id),
+est AS (SELECT doc_a, doc_b,
+          round(list_sum(list_transform(generate_series(1, {LSH_N_HASHES}),
+            i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            / {float(LSH_N_HASHES)}, 4) AS est_jaccard
+        FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                  JOIN sig sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= {LSH_MIN_JACCARD}
+"""
+
+
+def _phrase_arm(qid: str, phrase: str) -> str:
+    terms = [t for t in phrase.lower().split() if t]
+    n = len(terms)
+    conds = " AND ".join(
+        f"toks[i+{j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+  SELECT '{qid}' AS qid, doc_id,
+         coalesce(list_sum(list_transform(
+           generate_series(1, len(toks) - {n - 1}),
+           i -> CASE WHEN {conds} THEN 1 ELSE 0 END)), 0)::BIGINT
+           AS n_matches
+  FROM t WHERE len(toks) >= {n}"""
+
+
+ORACLES["phrase_match"] = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+m AS ({" UNION ALL ".join(_phrase_arm(q, p)
+                          for q, p in PHRASE_QUERIES.items())})
+SELECT qid, doc_id, n_matches FROM m WHERE n_matches > 0
 """
 
 ORACLES["jaccard_adjacent"] = f"""

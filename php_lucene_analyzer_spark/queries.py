@@ -34,6 +34,19 @@ BM25_QUERIES = {
 ANN_N_QUERIES = 5
 ANN_K = 5
 
+# MinHash-LSH contract parameters (md5-based so DuckDB reproduces the
+# signatures value-for-value; oracles.py::lsh_pairs)
+LSH_N_HASHES = 16
+LSH_BANDS = 4
+LSH_MIN_JACCARD = 0.5
+
+# phrase contract set (simplified tokenization, positions = token index)
+PHRASE_QUERIES = {
+    "p1": "merge join",
+    "p2": "fast merge join",
+    "p3": "the spark stream",
+}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -85,10 +98,15 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted term dictionary with dense ids (the FST-role table)."""
-    w = Window.orderBy("term")
-    return (q_term_stats(spark, sf_dir)
-            .withColumn("term_id", F.row_number().over(w).cast("long"))
+    """Sorted term dictionary with dense ids (the FST-role table).
+
+    Uses the engine's two-phase range rank (operators/fulltext.py::
+    dense_rank_ids) — identical ids to row_number() over a global window,
+    but with no single-partition exchange, so a 10^9-term vocabulary
+    never funnels through one executor."""
+    from .operators.fulltext import dense_rank_ids
+    return (dense_rank_ids(q_term_stats(spark, sf_dir), ["term"],
+                           "term_id", start=1)
             .select("term_id", "term", "df", "cf"))
 
 
@@ -97,11 +115,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scores rounded to 4dp at the contract boundary; rank over the rounded
     score with doc_id tie-break so both engines rank identically.
+
+    Scale shape: dl rides WITH each tf row (size of the token array,
+    computed in the same scan that explodes it) — the term-restricted tf
+    side never shuffle-joins the full-corpus dl table on doc_id, which
+    would be a corpus-wide shuffle for a handful of query terms.  Corpus
+    stats (n, avgdl) come from a separate scan-agg (no join) and
+    broadcast as one row.
     """
-    tf = q_tf(spark, sf_dir)
-    dl = (_tok_rows(spark, sf_dir).groupBy("doc_id")
-          .agg(F.count("*").alias("dl")))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    tf = (base.select("doc_id",
+                      F.size("toks").cast("long").alias("dl"),
+                      F.explode("toks").alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    stats = (base.select(F.size("toks").cast("long").alias("dl"))
+             .filter(F.col("dl") > 0)
+             .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
         "qid string, term string")
@@ -109,7 +139,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("term").agg(F.count("*").alias("df")))
     scored = (tf.join(F.broadcast(qterms), "term")
               .join(F.broadcast(dfq), "term")
-              .join(dl, "doc_id")
               .crossJoin(F.broadcast(stats))
               .withColumn(
                   "contrib",
@@ -156,27 +185,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper")))
 
 
+def _shingle_rows(spark: SparkSession, sf_dir: str,
+                  k: int = 3) -> DataFrame:
+    """(doc_id, s) — one row per word k-shingle, built with array ops on
+    the UN-EXPLODED token array.
+
+    The transform(sequence(...)) lambda is interpreted per element, but
+    it runs map-side on each doc's own array — the alternative
+    (posexplode + lead() over a per-doc window) shuffles and sorts EVERY
+    TOKEN of the corpus just to pair neighbors, which is the dominant
+    cost at 100x scale.  Docs with < k tokens have no shingles and drop
+    out (both engines)."""
+    base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    t = F.col("toks")
+    sh = F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(t) - k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j + 1)
+                               for j in range(k)]))
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("doc_id", F.explode(sh).alias("s"))
+
+
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch (4 portable md5 permutations) over word 3-shingles.
 
     Shingle -> md5(salt || shingle) -> min per doc: the LSH building block
     for near-dup detection; portable because md5 is identical everywhere.
-    Docs with <3 tokens have no shingles and drop out (both engines).
     """
-    # window-lead shingling over exploded tokens: stays in whole-stage
-    # codegen (a transform(sequence(...)) lambda would be interpreted)
-    ex = (_docs(spark, sf_dir)
-          .select("doc_id",
-                  F.posexplode(F.split(F.lower(F.col("text")),
-                                       "[^a-z0-9]+")).alias("pos", "term"))
-          .filter(F.col("term") != ""))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (ex.select(
-            "doc_id",
-            F.concat_ws(" ", "term", F.lead("term", 1).over(w),
-                        F.lead("term", 2).over(w)).alias("s"),
-            F.lead("term", 2).over(w).alias("t2"))
-          .filter(F.col("t2").isNotNull()))
+    sh = _shingle_rows(spark, sf_dir)
     return sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(str(salt) + ":"), F.col("s"))))
          .alias(f"h{salt}") for salt in range(4)])
@@ -315,18 +353,88 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only check: bit-level md5 folding
-    is not reasonably SQL-expressible; verified in tests/test_dedup_ann.py)."""
+    """64-bit SimHash fingerprints through the REAL Arrow-batched operator
+    (operators/dedup.py::simhash64) in md5 mode — the per-term hash equals
+    DuckDB's md5_number_upper, so the driver oracle verifies every
+    fingerprint value-for-value (64 bit-sums rebuilt in SQL)."""
     from .operators.dedup import simhash64
-    return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+    return simhash64(_docs(spark, sf_dir), "doc_id", "text", hasher="md5")
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (rows-only check; the banded
-    join is verified against known duplicates in tests/test_dedup_ann.py)."""
-    from .operators.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                             n_hashes=32, bands=8, min_jaccard=0.8)
+    """MinHash-LSH near-dup candidate pairs, fully JVM-side and
+    oracle-verified: 16 md5 min-hashes over word 3-shingles, 4 bands x 4
+    rows, banded bucket self-join (never O(n²)), estimated-Jaccard
+    threshold.  The blake2b/mapInPandas engine variant
+    (operators/dedup.py::minhash_lsh_pairs) is the same algorithm at
+    64-hash strength, verified against planted duplicates in
+    tests/test_dedup_ann.py."""
+    sh = _shingle_rows(spark, sf_dir)
+    sigs = (sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(LSH_N_HASHES)])
+        .select("doc_id", F.array(*[f"h{i}" for i in range(LSH_N_HASHES)])
+                .alias("sig")))
+    rows_per_band = LSH_N_HASHES // LSH_BANDS
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)])
+                 .alias("key"))
+        for b in range(LSH_BANDS)]
+    buckets = (sigs.select("doc_id", "sig",
+                           F.explode(F.array(*band_cols)).alias("b"))
+               .select("doc_id", "sig", F.col("b.band").alias("band"),
+                       F.col("b.key").alias("key")))
+    a, c = buckets.alias("a"), buckets.alias("c")
+    cand = (a.join(c, (F.col("a.band") == F.col("c.band"))
+                   & (F.col("a.key") == F.col("c.key"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("c.sig").alias("sig_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda v: v))
+           / F.lit(float(LSH_N_HASHES)))
+    return (cand.select("doc_a", "doc_b",
+                        F.round(est, 4).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= LSH_MIN_JACCARD))
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase matching through the REAL positional index (block-
+    packed .pos layout, rbucket-grouped evaluation — operators/
+    positional.py) built with the simplified tokenization, so DuckDB can
+    verify every (qid, doc, n_matches) with list ops over split tokens.
+    The full-chain variant (graph positions, stopword holes) is verified
+    against a brute-force oracle in tests/test_positional.py."""
+    import re
+
+    from .operators.positional import phrase_match, positional_postings
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text: str) -> list[str]:
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    docs = _docs(spark, sf_dir)
+    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text", terms_fn=simple_terms).cache()
+    out = None
+    for qid, phrase in PHRASE_QUERIES.items():
+        m = (phrase_match(pos, phrase, terms_fn=simple_terms)
+             .select(F.lit(qid).alias("qid"), "doc_id",
+                     F.col("n_matches").cast("long").alias("n_matches")))
+        out = m if out is None else out.unionAll(m)
+    # materialize, then free the positional cache (the driver calls each
+    # entry repeatedly; a leaked cache would accumulate until eviction)
+    rows = out.collect()
+    schema = out.schema
+    pos.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,4 +468,5 @@ QUERIES = {
     "token_count": q_token_count,
     "simhash": q_simhash,
     "lsh_pairs": q_lsh_pairs,
+    "phrase_match": q_phrase_match,
 }

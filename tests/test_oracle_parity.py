@@ -69,6 +69,5 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = set(os_) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     rows_only = set(qs) - set(os_)
-    # only the genuinely non-SQL-expressible ops may skip the oracle
-    assert rows_only <= {"wand_fullchain", "simhash", "lsh_pairs",
-                         "phrase_match", "streaming_index"}
+    # only the genuinely non-SQL-expressible op may skip the oracle
+    assert rows_only <= {"wand_fullchain"}

@@ -135,6 +135,39 @@ def test_semijoin_term_fetch_is_broadcast(spark, docs):
     assert "Join" not in small  # isin stays a scan-level predicate
 
 
+def _window_partition_sizes(df):
+    """[(node_name, n_partition_cols)] for every Window exec node in the
+    physical plan (AQE wrapper unwrapped)."""
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "Window" in name:
+            out.append((name, node.partitionSpec().length()))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_no_contract_query_plans_global_window(spark):
+    """NO contract query may plan a Window over an empty partitionSpec
+    (an Exchange SinglePartition straggler at vocabulary/corpus scale) —
+    VERDICT r1 item 2.  Global one-row aggregates (corpus stats) are fine;
+    global windows are not."""
+    from php_lucene_analyzer_spark.queries import QUERIES
+
+    for name, q in QUERIES.items():
+        df = q(spark, "/root/testdata/sf0.001")
+        for node, nparts in _window_partition_sizes(df):
+            assert nparts > 0, \
+                f"{name}: {node} has empty partitionSpec (global window)"
+
+
 def test_dense_rank_ids_no_global_window(spark):
     """Term/doc-id assignment must never plan a single-partition global
     window (the vocabulary-scale bottleneck): the two-phase scheme's only
