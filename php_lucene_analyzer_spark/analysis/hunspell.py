@@ -56,7 +56,27 @@ class Dictionary:
     needaffix: str | None = None
     onlyincompound: str | None = None
     forbidden: str | None = None
+    circumfix: str | None = None       # CIRCUMFIX flag (Dictionary.php:458-464)
+    complex_prefixes: bool = False     # COMPLEXPREFIXES (Dictionary.php:456)
+    full_strip: bool = False           # FULLSTRIP (Dictionary.php:505-506)
+    two_stage_affix: bool = False      # any affix has continuation classes
+    language: str = ""                 # LANG (Dictionary.php:507-509)
     ignore_case: bool = False
+
+    @property
+    def alternate_casing(self) -> bool:
+        """Turkish/Azeri dotted-I casing (Dictionary.php:509)."""
+        return self.language in ("tr_TR", "az_AZ")
+
+    def case_fold(self, c: str) -> str:
+        """Single-char fold per LANG (Dictionary::caseFold :1309-1324):
+        tr/az map I -> dotless ı and İ -> i; everything else lowercases."""
+        if self.alternate_casing:
+            if c == "I":
+                return "ı"
+            if c == "İ":
+                return "i"
+        return c.lower()
 
     def lookup(self, word: str) -> list[frozenset[str]] | None:
         return self.words.get(word)
@@ -151,6 +171,14 @@ def parse_affix_file(text: str) -> tuple[Dictionary, _FlagParser]:
                 (parts[1], parts[2]))
         elif key == "KEEPCASE" and len(parts) > 1:
             d.keepcase = parts[1]
+        elif key == "CIRCUMFIX" and len(parts) > 1:
+            d.circumfix = parts[1]
+        elif key == "COMPLEXPREFIXES":
+            d.complex_prefixes = True
+        elif key == "FULLSTRIP":
+            d.full_strip = True
+        elif key == "LANG" and len(parts) > 1:
+            d.language = parts[1]
         elif key == "NEEDAFFIX" and len(parts) > 1:
             d.needaffix = parts[1]
         elif key == "ONLYINCOMPOUND" and len(parts) > 1:
@@ -181,6 +209,10 @@ def parse_affix_file(text: str) -> tuple[Dictionary, _FlagParser]:
                 else:
                     app, cont = append_raw, frozenset()
                 app = "" if app == "0" else app
+                if cont:
+                    # continuation classes anywhere enable 2-level affix
+                    # stripping (Dictionary.php:659 twoStageAffix)
+                    d.two_stage_affix = True
                 cond_s = sub[4] if len(sub) > 4 else "."
                 if key == "PFX":
                     cond = None if cond_s == "." else re.compile(
@@ -320,17 +352,31 @@ class Stemmer:
         return seen
 
     # -- internals ----------------------------------------------------------
+
     def _case_variants(self, w: str):
         """Case-variant union per caseOf/stemWord2 (Stemmer.php:89-151):
         UPPER -> exact + title fold + lower fold; TITLE -> exact + lower
         fold; mixed/lower -> exact only.  Folded variants reject
-        KEEPCASE-flagged entries."""
+        KEEPCASE-flagged entries.  Folding goes through
+        Dictionary.case_fold, so LANG tr_TR/az_AZ words fold I -> ı and
+        İ -> i (alternate casing, Dictionary.php:1309-1324).
+        (Divergence noted: the PHP port's isUpperCase regex [A-ZА-ЯЁ]
+        (Stemmer.php:120-123) misclassifies Ş/İ/Ә etc. as lowercase —
+        breaking the very Turkish/Kazakh dictionaries it ships; we follow
+        the Lucene original's Character.isUpperCase.)"""
         yield w, False
-        if len(w) > 1 and w.isupper():
-            yield w[0] + w[1:].lower(), True
-            yield w.lower(), True
-        elif w[:1].isupper() and w[1:] == w[1:].lower():
-            yield w.lower(), True
+        if self.d.ignore_case or not w or not w[0].isupper():
+            return
+        rest_upper = [c.isupper() for c in w[1:]]
+        fold = self.d.case_fold
+        if not any(not u for u in rest_upper):  # no lowercase after [0]
+            # UPPER_CASE (incl. single-char): title fold then lower fold
+            title = w[0] + "".join(fold(c) for c in w[1:])
+            yield title, True
+            yield fold(title[0]) + title[1:], True
+        elif not any(rest_upper):
+            # TITLE_CASE: lower fold only
+            yield fold(w[0]) + w[1:], True
 
     def _entry_ok(self, fsets: list[frozenset[str]], affix_flag: str | None,
                   forbid_keepcase: bool) -> bool:
@@ -355,8 +401,10 @@ class Stemmer:
         entry = self.d.lookup(word)
         if entry and self._entry_ok(entry, None, forbid_keepcase):
             out.append(word)
-        out.extend(self._strip(word, forbid_keepcase, prefix_depth=0,
-                               suffix_depth=0))
+        out.extend(self._stem_recurse(
+            word, previous=None, prev_flag=None, prefix_flag=None, depth=0,
+            do_prefix=True, do_suffix=True, previous_was_prefix=False,
+            circumfix=False, case_variant=forbid_keepcase))
         return out
 
     def _candidates(self, word: str, table: dict[str, list[Affix]],
@@ -364,59 +412,149 @@ class Stemmer:
         """All affix rules whose append matches word's edge — INCLUDING
         the zero-length append (strip-only rules like 'SFX V й 0 [їі]й'
         in the shipped ru_RU/uk_UA dictionaries; the reference's suffix
-        loop tries the empty suffix first, Stemmer.php:412-425)."""
-        for ln in range(0, len(word)):
+        loop tries the empty suffix first, Stemmer.php:412-425).  Without
+        FULLSTRIP an affix may never consume the whole word
+        (Stemmer.php:319,407 limits); with it a suffix may."""
+        top = len(word) + 1 if (self.d.full_strip and not is_prefix) \
+            else len(word)
+        for ln in range(0, top):
             edge = word[:ln] if is_prefix else word[len(word) - ln:] \
                 if ln else ""
             for a in table.get(edge, ()):
                 yield a
 
-    def _strip(self, word: str, forbid_keepcase: bool, prefix_depth: int,
-               suffix_depth: int) -> list[str]:
-        """Remove one affix and validate/recurse (Stemmer::stem/applyAffix
-        :296-685, depth-limited exactly like Lucene: 1 prefix, 2 suffixes)."""
-        out: list[str] = []
+    def _affix_compatible(self, a: Affix, depth: int, prev_flag: str | None,
+                          match_empty: bool) -> bool:
+        """Affix admission per recursion depth (Stemmer.php:356-380,
+        471-497): at depth 0 only the ONLYINCOMPOUND gate on the affix's
+        own continuation flags applies; deeper steps additionally require
+        cross-product and the PREVIOUS affix's flag in this affix's
+        continuation class — except a suffix with NO continuation class
+        is admitted when the previous removal was a PREFIX
+        (hasCrossCheckedFlag matchEmpty=$previousWasPrefix, :497; two
+        prefixes or two suffixes must chain explicitly).  (The
+        reference's hasCrossCheckedFlag is a no-op port bug —
+        `in_array(...) >= 0` is always true in PHP; we implement the
+        Lucene original's binarySearch semantics.)"""
         d = self.d
-        if prefix_depth == 0:
+        if depth == 0:
+            return not (d.onlyincompound and d.onlyincompound in a.cont_flags)
+        if not a.cross:
+            return False
+        if d.onlyincompound and d.onlyincompound in a.cont_flags:
+            return False
+        # the CIRCUMFIX flag is a pairing MARKER, not a chain requirement
+        # — exclude it from the continuation set before the cross-check
+        # (applyAffix verifies the pairing itself); a suffix whose only
+        # continuation is the circumfix marker behaves like an unchained
+        # suffix after a prefix
+        cont = a.cont_flags
+        if d.circumfix is not None and d.circumfix in cont:
+            cont = cont - {d.circumfix}
+        if not cont:
+            return match_empty
+        return prev_flag in cont
+
+    def _stem_recurse(self, word: str, previous: Affix | None,
+                      prev_flag: str | None, prefix_flag: str | None,
+                      depth: int, do_prefix: bool, do_suffix: bool,
+                      previous_was_prefix: bool, circumfix: bool,
+                      case_variant: bool) -> list[str]:
+        """Stemmer::stem parity (Stemmer.php:296-585): strip one affix per
+        level; COMPLEXPREFIXES flips the budget to 2 prefixes + 1 suffix
+        (default: 1 prefix + 2 suffixes); an affix never removes itself
+        twice in a chain ($previous skip, :345,466)."""
+        d = self.d
+        out: list[str] = []
+        if do_prefix:
             for a in self._candidates(word, d.prefixes, True):
+                if a is previous:
+                    continue
+                if not self._affix_compatible(a, depth, prev_flag, False):
+                    continue
                 rest = a.strip + word[len(a.append):]
                 if a.cond and not a.cond.search(rest):
                     continue
-                entry = d.lookup(rest)
-                if entry and self._entry_ok(entry, a.flag, forbid_keepcase):
-                    out.append(rest)
-                # cross-product: allow suffix stripping after this prefix,
-                # requiring suffix rules flagged on the same entry
-                if a.cross:
-                    for s in self._strip(rest, forbid_keepcase,
-                                         prefix_depth=1,
-                                         suffix_depth=suffix_depth):
-                        # validate the prefix flag against the final entry
-                        fsets = d.lookup(s)
-                        if fsets and self._entry_ok(fsets, a.flag,
-                                                    forbid_keepcase):
-                            out.append(s)
-        if suffix_depth < 2:
+                out.extend(self._apply_affix(rest, a, None, depth, True,
+                                             circumfix, case_variant))
+        if do_suffix:
             for a in self._candidates(word, d.suffixes, False):
+                if a is previous:
+                    continue
+                if not self._affix_compatible(a, depth, prev_flag,
+                                              previous_was_prefix):
+                    continue
                 rest = word[: len(word) - len(a.append)] + a.strip
                 if a.cond and not a.cond.search(rest):
                     continue
-                entry = d.lookup(rest)
-                if entry and self._entry_ok(entry, a.flag, forbid_keepcase):
-                    out.append(rest)
-                # double suffix via continuation classes: the outer
-                # suffix's flag must appear in the INNER rule's cont set
-                if suffix_depth == 0:
-                    for b in self._candidates(rest, d.suffixes, False):
-                        if a.flag not in b.cont_flags:
-                            continue
-                        rest2 = rest[: len(rest) - len(b.append)] + b.strip
-                        if b.cond and not b.cond.search(rest2):
-                            continue
-                        entry2 = d.lookup(rest2)
-                        if entry2 and self._entry_ok(entry2, b.flag,
-                                                     forbid_keepcase):
-                            out.append(rest2)
+                out.extend(self._apply_affix(rest, a, prefix_flag, depth,
+                                             False, circumfix, case_variant))
+        return out
+
+    def _apply_affix(self, stripped: str, affix: Affix,
+                     prefix_flag: str | None, depth: int, is_prefix: bool,
+                     circumfix: bool, case_variant: bool) -> list[str]:
+        """applyAffix parity (Stemmer.php:598-685): accept dictionary
+        forms carrying the affix flag (with prefix-flag cross-check,
+        CIRCUMFIX pairing and KEEPCASE/ONLYINCOMPOUND gates), then
+        recurse per the cross-product depth table."""
+        d = self.d
+        out: list[str] = []
+        forms = d.lookup(stripped)
+        if forms:
+            for fs in forms:
+                if affix.flag not in fs:
+                    continue
+                if d.forbidden and d.forbidden in fs:
+                    continue
+                # in COMPLEXPREFIXES mode the second prefix was already
+                # chained against the first — skip the word-level check
+                chained_prefix = d.complex_prefixes and depth == 1 \
+                    and is_prefix
+                if not chained_prefix and prefix_flag is not None \
+                        and prefix_flag not in fs \
+                        and prefix_flag not in affix.cont_flags:
+                    # prefix may chain through the suffix's continuation
+                    continue
+                if d.circumfix is not None:
+                    # a circumfix-flagged prefix must pair with a
+                    # circumfix-flagged suffix and vice versa
+                    if circumfix != (d.circumfix in affix.cont_flags):
+                        continue
+                if case_variant and d.keepcase and d.keepcase in fs:
+                    continue
+                if d.onlyincompound and d.onlyincompound in fs:
+                    continue
+                out.append(stripped)
+                break  # one acceptance per stripped form
+        if d.circumfix is not None and not circumfix and is_prefix:
+            circumfix = d.circumfix in affix.cont_flags
+        if affix.cross:
+            if depth == 0:
+                if is_prefix:
+                    # first prefix removed: 2nd prefix only under
+                    # COMPLEXPREFIXES (and only if affixes chain at all)
+                    out.extend(self._stem_recurse(
+                        stripped, affix, affix.flag, affix.flag, 1,
+                        d.complex_prefixes and d.two_stage_affix, True,
+                        True, circumfix, case_variant))
+                elif not d.complex_prefixes and d.two_stage_affix:
+                    # suffix removed: try a second suffix
+                    out.extend(self._stem_recurse(
+                        stripped, affix, affix.flag, prefix_flag, 1,
+                        False, True, False, circumfix, case_variant))
+            elif depth == 1:
+                if is_prefix and d.complex_prefixes:
+                    # second prefix removed: go look for the suffix
+                    out.extend(self._stem_recurse(
+                        stripped, affix, affix.flag, affix.flag, 2,
+                        False, True, True, circumfix, case_variant))
+                elif not is_prefix and not d.complex_prefixes \
+                        and d.two_stage_affix:
+                    # prefix + suffix removed: one more suffix allowed
+                    out.extend(self._stem_recurse(
+                        stripped, affix, affix.flag, prefix_flag, 2,
+                        False, True, False, circumfix, case_variant))
         return out
 
 

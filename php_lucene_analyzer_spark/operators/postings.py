@@ -50,6 +50,20 @@ from pyspark.sql import DataFrame
 
 BLOCK_SIZE = 128
 
+# index_corpus flushes its per-partition accumulator to finished block
+# rows every ~FLUSH_POSTINGS postings: bounds the working set to ~12 MB
+# of array('q') per worker regardless of partition size (32 workers on
+# one box otherwise contend for DRAM bandwidth as partitions grow — the
+# measured 1M-doc scaling gap, BENCH/BASELINE.md).  Each flush gets its
+# own rbucket: a doc's postings all land in one flush (docs are analyzed
+# whole), so every rbucket still holds ALL postings of a disjoint doc
+# set — the WAND-bucket invariant.  RBUCKET_STRIDE leaves room for 2^10
+# flushes per partition (a flush covers >= 0.5M postings, so hitting the
+# stride would need a >500M-posting input split — two orders beyond
+# spark.sql.files.maxPartitionBytes).
+FLUSH_POSTINGS = 1 << 19
+RBUCKET_STRIDE = 1 << 10
+
 POSTINGS_SCHEMA = (
     "term string, rbucket long, block_no int, n int, first_doc long, "
     "last_doc long, max_tf int, min_dl int, sum_tf long, "
@@ -120,13 +134,16 @@ def _block_rows(terms: list[str], term_offsets: np.ndarray,
 
 def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
                  text_col: str = "content", analyzer=None,
-                 rbucket_base: int = 0) -> DataFrame:
+                 rbucket_base: int = 0,
+                 flush_postings: int = FLUSH_POSTINGS) -> DataFrame:
     """Fused analyze + posting-block build, one pass, zero extra shuffle.
 
     ``docs_with_ids`` must be partitioned into disjoint doc_id ranges
-    (with_doc_ids output is).  Partition memory is bounded by the input
-    split size (spark.sql.files.maxPartitionBytes), NOT by term df — the
-    heavy-term problem is structurally absent.
+    (with_doc_ids output is).  Partition memory is bounded by
+    ``flush_postings`` (the accumulator spills finished doc sets to block
+    rows incrementally — see FLUSH_POSTINGS), NOT by partition or term
+    df size — the heavy-term problem is structurally absent and the
+    working set stays cache-friendly at any input split size.
 
     ``analyzer``: optional analysis.analyzers.Analyzer (custom chain —
     hunspell/morphology stemmers, char maps, custom stop sets); defaults
@@ -136,7 +153,8 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
     builders (chunked/resumable, streaming epochs) pass a per-segment
     base so rbuckets stay globally unique (better bucket balance at query
     time; correctness never depends on it since WAND orders blocks by
-    first_doc).
+    first_doc).  Emitted rbuckets are
+    (rbucket_base + partition_id) * RBUCKET_STRIDE + flush_no.
     """
     if analyzer is not None:
         terms_of = analyzer.terms
@@ -148,42 +166,61 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
 
         from pyspark import TaskContext
 
-        pid = rbucket_base + TaskContext.get().partitionId()
+        base = rbucket_base + TaskContext.get().partitionId()
         # array('q') accumulators: ~4x less memory than Python int lists
         # (the per-partition working set is what pressures the DRAM bus
         # under 32 workers — see BENCH/BASELINE.md scaling notes)
         acc: dict[str, tuple] = {}
+        state = {"pending": 0, "flush_no": 0}
+
+        def flush() -> pd.DataFrame | None:
+            if not acc:
+                return None
+            terms = sorted(acc)
+            sizes = np.array([len(acc[t][0]) for t in terms], dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(sizes)))
+            total = int(offsets[-1])
+            docs_a = np.empty(total, dtype=np.uint64)
+            tfs_a = np.empty(total, dtype=np.uint64)
+            dls_a = np.empty(total, dtype=np.uint64)
+            for i, term in enumerate(terms):
+                s, e = offsets[i], offsets[i + 1]
+                d, t, l = acc[term]
+                docs_a[s:e] = d
+                tfs_a[s:e] = t
+                dls_a[s:e] = l
+                if e - s > 1 and not (docs_a[s + 1:e] >= docs_a[s:e - 1]).all():
+                    order = np.argsort(docs_a[s:e], kind="stable")
+                    docs_a[s:e] = docs_a[s:e][order]
+                    tfs_a[s:e] = tfs_a[s:e][order]
+                    dls_a[s:e] = dls_a[s:e][order]
+            rb = base * RBUCKET_STRIDE + state["flush_no"]
+            acc.clear()
+            state["pending"] = 0
+            state["flush_no"] += 1
+            return _block_rows(terms, offsets, docs_a, tfs_a, dls_a, rb)
+
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             for did, text in zip(ids, pdf[text_col]):
                 toks = terms_of(text or "")
                 dl = len(toks)
-                for t, tf in Counter(toks).items():
+                c = Counter(toks)
+                for t, tf in c.items():
                     e = acc.get(t)
                     if e is None:
                         e = acc[t] = (array("q"), array("q"), array("q"))
                     e[0].append(did)
                     e[1].append(tf)
                     e[2].append(dl)
-        terms = sorted(acc)
-        sizes = np.array([len(acc[t][0]) for t in terms], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(sizes)))
-        total = int(offsets[-1])
-        docs_a = np.empty(total, dtype=np.uint64)
-        tfs_a = np.empty(total, dtype=np.uint64)
-        dls_a = np.empty(total, dtype=np.uint64)
-        for i, term in enumerate(terms):
-            s, e = offsets[i], offsets[i + 1]
-            d, t, l = acc[term]
-            docs_a[s:e] = d
-            tfs_a[s:e] = t
-            dls_a[s:e] = l
-            if e - s > 1 and not (docs_a[s + 1:e] >= docs_a[s:e - 1]).all():
-                order = np.argsort(docs_a[s:e], kind="stable")
-                docs_a[s:e] = docs_a[s:e][order]
-                tfs_a[s:e] = tfs_a[s:e][order]
-                dls_a[s:e] = dls_a[s:e][order]
-        yield _block_rows(terms, offsets, docs_a, tfs_a, dls_a, pid)
+                state["pending"] += len(c)
+                if state["pending"] >= flush_postings:
+                    out = flush()
+                    if out is not None:
+                        yield out
+        out = flush()
+        if out is not None:
+            yield out
 
     return docs_with_ids.select(id_col, text_col).mapInPandas(
         build, schema=POSTINGS_SCHEMA)

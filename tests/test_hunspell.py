@@ -275,3 +275,124 @@ def test_oconv_output_cleaning_and_stem_exceptions():
     assert st.unique_stems("fuehrers") == ["führer"]
     # OCONV applies to every output stem
     assert st.unique_stems("blues") == ["blü"]
+
+
+# ---------------------------------------------------------------------------
+# COMPLEXPREFIXES / CIRCUMFIX / LANG caseFold / FULLSTRIP (VERDICT r1 item 4)
+# — none of the four shipped dictionaries declares these (grep-verified),
+# so synthetic dictionaries force each flag.
+# ---------------------------------------------------------------------------
+
+CIRCUMFIX_AFF = """
+SET UTF-8
+CIRCUMFIX A
+
+PFX B Y 1
+PFX B 0 leg/A .
+
+PFX C Y 1
+PFX C 0 legto/A .
+
+SFX D Y 1
+SFX D 0 obb/A .
+"""
+
+CIRCUMFIX_DIC = """1
+nagy/CBD
+"""
+
+
+def test_circumfix_pairing():
+    """A circumfix-flagged prefix validates only WITH a circumfix-flagged
+    suffix and vice versa (reference Stemmer.php:640-656 pairing check;
+    Dictionary.php:458-464 flag parse)."""
+    st = Stemmer(load(CIRCUMFIX_AFF, [CIRCUMFIX_DIC]))
+    assert st.unique_stems("legnagyobb") == ["nagy"]
+    assert st.unique_stems("legtonagyobb") == ["nagy"]
+    # suffix alone: circumfix suffix without its prefix must NOT validate
+    assert st.unique_stems("nagyobb") == []
+    # prefix alone: circumfix prefix without its suffix must NOT validate
+    assert st.unique_stems("legnagy") == []
+    assert st.unique_stems("nagy") == ["nagy"]
+
+
+COMPLEX_AFF = """
+SET UTF-8
+COMPLEXPREFIXES
+
+PFX A Y 1
+PFX A 0 un .
+
+PFX B Y 1
+PFX B 0 re/A .
+
+SFX C Y 1
+SFX C 0 s .
+"""
+
+COMPLEX_DIC = """1
+walk/BC
+"""
+
+
+def test_complexprefixes_two_stage():
+    """COMPLEXPREFIXES = 2-stage prefix + 1 suffix instead of 1 prefix +
+    2-stage suffix (reference Dictionary.php:456-457; Stemmer.php:660-685
+    recursion table).  The outer prefix chains through the inner prefix's
+    continuation class; the word itself carries only the inner flag."""
+    st = Stemmer(load(COMPLEX_AFF, [COMPLEX_DIC]))
+    assert st.unique_stems("rewalk") == ["walk"]       # inner prefix only
+    assert st.unique_stems("unrewalk") == ["walk"]     # prefix + prefix
+    assert st.unique_stems("unrewalks") == ["walk"]    # 2 prefixes + suffix
+    assert st.unique_stems("unwalk") == []             # outer without inner
+    assert st.unique_stems("walks") == ["walk"]
+
+
+TR_AFF = """
+SET UTF-8
+LANG tr_TR
+
+SFX S Y 1
+SFX S 0 lar .
+"""
+
+TR_DIC = """2
+ışık/S
+iş/S
+"""
+
+
+def test_turkish_alternate_casing():
+    """LANG tr_TR folds I -> dotless ı and İ -> dotted i
+    (Dictionary::caseFold, reference Dictionary.php:1309-1324)."""
+    st = Stemmer(load(TR_AFF, [TR_DIC]))
+    assert st.unique_stems("IŞIK") == ["ışık"]          # I -> ı
+    assert st.unique_stems("IŞIKLAR") == ["ışık"]
+    assert st.unique_stems("İŞ") == ["iş"]              # İ -> i
+    assert st.unique_stems("Işık") == ["ışık"]          # title case fold
+    # without LANG, 'I' folds to 'i' and nothing matches
+    st2 = Stemmer(load(TR_AFF.replace("LANG tr_TR\n", ""), [TR_DIC]))
+    assert st2.unique_stems("IŞIK") == []
+
+
+FULLSTRIP_AFF = """
+SET UTF-8
+FULLSTRIP
+
+SFX F Y 1
+SFX F x ab x
+"""
+
+FULLSTRIP_DIC = """1
+x/F
+"""
+
+
+def test_fullstrip_whole_word_suffix():
+    """FULLSTRIP lets a suffix consume the entire word (reference
+    Dictionary.php:505-506; Stemmer.php:407 limit)."""
+    st = Stemmer(load(FULLSTRIP_AFF, [FULLSTRIP_DIC]))
+    assert st.unique_stems("ab") == ["x"]
+    st2 = Stemmer(load(FULLSTRIP_AFF.replace("FULLSTRIP\n", ""),
+                       [FULLSTRIP_DIC]))
+    assert st2.unique_stems("ab") == []

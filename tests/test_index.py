@@ -413,6 +413,61 @@ def test_single_term_impact_ordered_early_stop(monkeypatch):
     assert {(r.doc_id, r.score) for r in got.itertuples()} == want
 
 
+def test_incremental_flush_identical_index(spark):
+    """index_corpus with a tiny flush budget (many flushes per partition,
+    bounded accumulator — VERDICT r1 item 3) must produce the same term
+    stats and bit-identical WAND results as the single-flush build, even
+    when rows arrive doc-UNSORTED within a partition."""
+    import pandas as pd
+
+    from php_lucene_analyzer_spark.operators.postings import (
+        corpus_stats_from_postings, index_corpus, term_stats_from_postings)
+    from php_lucene_analyzer_spark.operators.wand import wand_topk
+
+    n = 400
+    rows = [(i, f"alpha beta{i % 11} gamma{i % 3} delta epsilon{i % 7}")
+            for i in range(n)]
+    # deliberately doc-unsorted within the single partition
+    rows = rows[1::2] + rows[0::2]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])).coalesce(1)
+    small = index_corpus(docs, "doc_id", "text", flush_postings=60).cache()
+    big = index_corpus(docs, "doc_id", "text").cache()
+    assert small.select("rbucket").distinct().count() > 3
+    assert big.select("rbucket").distinct().count() == 1
+    ts_s = {tuple(r) for r in term_stats_from_postings(small).collect()}
+    ts_b = {tuple(r) for r in term_stats_from_postings(big).collect()}
+    assert ts_s == ts_b
+    avgdl = corpus_stats_from_postings(big, n)
+    for q in ("alpha beta5", "delta epsilon3 gamma1"):
+        a = wand_topk(small, term_stats_from_postings(small), n, avgdl,
+                      q, k=10).collect()
+        b = wand_topk(big, term_stats_from_postings(big), n, avgdl,
+                      q, k=10).collect()
+        assert a == b and a
+    small.unpersist()
+    big.unpersist()
+
+
+def test_single_term_kernel_tie_break_at_k_boundary():
+    """The vectorized single-term kernel's running top-k cut must resolve
+    score ties at the k boundary by doc_id asc — including ties that
+    straddle BLOCK boundaries (the merge happens per scanned block)."""
+    import numpy as np
+
+    import php_lucene_analyzer_spark.operators.wand as W
+    from php_lucene_analyzer_spark.operators.postings import _block_rows
+
+    n = 1200
+    docs = np.arange(n, dtype=np.uint64)
+    tfs = np.full(n, 3, dtype=np.uint64)     # all scores identical
+    dls = np.full(n, 40, dtype=np.uint64)
+    pdf = _block_rows(["t"], np.array([0, n], dtype=np.int64),
+                      docs, tfs, dls, 0)
+    got = W._single_term_topk(pdf, 1.5, 10, 40.0, W.K1, W.B)
+    assert got["doc_id"].tolist() == list(range(10))
+
+
 def test_dense_kernel_tie_break_at_k_boundary():
     """Ties straddling the k boundary must resolve by doc_id asc in the
     dense kernel too (argpartition alone picks arbitrary tie members)."""
