@@ -61,6 +61,27 @@ class ResumableIndexBuild:
                 .parquet(self.ids_path)
         return self.spark.read.parquet(self.ids_path)
 
+    def _check_or_stamp_format(self) -> None:
+        """Workdir format guard (functions/header.py, CodecUtil's role):
+        a FRESH workdir gets stamped with the current layout version; a
+        workdir with prior state (ids/postings/lineage) must carry a
+        compatible header — resuming against a stale layout fails here
+        with a versioned error instead of a confusing decode failure."""
+        from ..functions.header import (INDEX_WORKDIR_CODEC,
+                                        INDEX_WORKDIR_VERSION,
+                                        check_dir_header, write_dir_header)
+        has_state = any(os.path.exists(p) for p in
+                        (self.ids_path, self.postings_path,
+                         self.lineage_path))
+        sidecar = os.path.join(self.workdir, "_FORMAT.json")
+        if os.path.exists(sidecar) or has_state:
+            check_dir_header(self.workdir, INDEX_WORKDIR_CODEC,
+                             INDEX_WORKDIR_VERSION, INDEX_WORKDIR_VERSION)
+        else:
+            os.makedirs(self.workdir, exist_ok=True)
+            write_dir_header(self.workdir, INDEX_WORKDIR_CODEC,
+                             INDEX_WORKDIR_VERSION)
+
     def completed_chunks(self) -> set[int]:
         if not os.path.exists(self.lineage_path):
             return set()
@@ -83,6 +104,7 @@ class ResumableIndexBuild:
         ``fail_after_chunks`` injects a crash after N chunk commits — used
         by the kill/resume test.
         """
+        self._check_or_stamp_format()
         ids = self.ensure_ids(docs, order_cols)
         max_id = ids.agg(F.max("doc_id")).collect()[0][0]
         if max_id is None:  # empty corpus: a valid (empty) index, not a crash

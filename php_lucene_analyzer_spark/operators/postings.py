@@ -275,9 +275,21 @@ def corpus_stats_from_postings(postings: DataFrame, n_docs: int) -> float:
     return float(total) / n_docs if n_docs else 0.0
 
 
+def read_postings(spark, path: str) -> DataFrame:
+    """Open a write_postings directory with its format header checked
+    (functions/header.py — CodecUtil's role): a stale or foreign layout
+    fails HERE with a versioned message, not mid-decode."""
+    from ..functions.header import (POSTINGS_CODEC, POSTINGS_VERSION,
+                                    check_dir_header)
+    check_dir_header(path, POSTINGS_CODEC, 2, POSTINGS_VERSION)
+    return spark.read.parquet(path)
+
+
 def write_postings(postings: DataFrame, path: str) -> None:
     """Persist range-partitioned + sorted by term so parquet row-group
     min/max statistics prune term lookups (the sorted-FST role).
+    Stamps a _FORMAT.json header (codec + version, functions/header.py)
+    so a reader against a stale layout fails cleanly.
 
     The blocks are persisted across the two passes the range partitioner
     needs (boundary sampling + the real shuffle) — otherwise the sampling
@@ -291,9 +303,12 @@ def write_postings(postings: DataFrame, path: str) -> None:
     already = postings.storageLevel != StorageLevel.NONE
 
     def write(df):
+        from ..functions.header import (POSTINGS_CODEC, POSTINGS_VERSION,
+                                        write_dir_header)
         (df.repartitionByRange("term")
          .sortWithinPartitions("term", "rbucket", "block_no")
          .write.mode("overwrite").parquet(path))
+        write_dir_header(path, POSTINGS_CODEC, POSTINGS_VERSION)
 
     if already:
         write(postings)

@@ -83,7 +83,11 @@ def main() -> None:
      .repartitionByRange("term").sortWithinPartitions("term")
      .write.mode("overwrite").parquet(term_dict_path))
 
-    stats = {"n_docs": n_docs, "avgdl": avgdl,
+    from php_lucene_analyzer_spark.functions.header import (
+        INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION, header_fields)
+
+    stats = {**header_fields(INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION),
+             "n_docs": n_docs, "avgdl": avgdl,
              "text_col": args.text_col,
              "order_cols": args.order_cols.split(","),
              "chunks": sorted(build.completed_chunks()),

@@ -38,8 +38,18 @@ def main() -> None:
         term_stats_from_postings)
     from php_lucene_analyzer_spark.operators.wand import wand_topk_many
 
+    from php_lucene_analyzer_spark.functions.header import (
+        INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION, check_dir_header,
+        check_fields)
+
+    # format guard BEFORE any decode: stale index layouts fail with a
+    # versioned message (functions/header.py — CodecUtil's role)
+    check_dir_header(args.workdir, INDEX_WORKDIR_CODEC,
+                     INDEX_WORKDIR_VERSION, INDEX_WORKDIR_VERSION)
     with open(os.path.join(args.workdir, "stats.json")) as f:
         stats = json.load(f)
+    check_fields(stats, INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION,
+                 INDEX_WORKDIR_VERSION, "stats.json")
     postings = spark.read.option(
         "basePath", os.path.join(args.workdir, "postings")).parquet(
         os.path.join(args.workdir, "postings", "chunk=*"))
