@@ -29,7 +29,8 @@ B = 0.75
 
 
 def dense_rank_ids(df: DataFrame, order_cols: list[str], id_col: str,
-                   partitions: int | None = None, start: int = 0) -> DataFrame:
+                   partitions: int | None = None, start: int = 0,
+                   precache: bool = False) -> DataFrame:
     """Dense, deterministic int64 ``id_col`` = ``start`` + global rank of
     ``order_cols`` (which must be a unique key).
 
@@ -40,15 +41,29 @@ def dense_rank_ids(df: DataFrame, order_cols: list[str], id_col: str,
     10^12 docs, term ids over 10^9-term vocabularies alike).  Deterministic
     at any parallelism because ids depend only on the key's global rank,
     never on partition boundaries.
+
+    ``precache``: persist the INPUT for the two passes that need it (the
+    range partitioner's sampling job + the checkpoint materialization) and
+    unpersist before returning (the checkpoint holds the data by then).
+    Use for inputs that are themselves expensive aggregations but small
+    relative to the corpus (term-stats tables); leave off for raw-corpus
+    doc ids, where a parquet re-scan beats materializing 100 TB.
     """
     spark = df.sparkSession
+    if precache:
+        from pyspark import StorageLevel
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n_part = partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, *order_cols) \
                .withColumn("_pid", F.spark_partition_id()) \
                .withColumn("_rn", F.row_number().over(
                    Window.partitionBy("_pid").orderBy(*order_cols)))
     ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
+    # this action materializes EVERY checkpoint partition (full lineage
+    # runs once); afterwards downstream reads come from the checkpoint
     counts = ranged.groupBy("_pid").count().collect()
+    if precache:
+        df.unpersist()
     offsets, acc = [], start
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((row["_pid"], acc))
@@ -169,7 +184,8 @@ def term_dict(tstats: DataFrame) -> DataFrame:
     10^8-10^9-term code vocabulary never funnels through one partition
     (a global orderBy window would); stored sorted so prefix/range
     queries prune by min/max."""
-    return dense_rank_ids(tstats, ["term"], "term_id", start=1)
+    return dense_rank_ids(tstats, ["term"], "term_id", start=1,
+                          precache=True)
 
 
 def idf(n_docs: int, df: int) -> float:

@@ -266,7 +266,8 @@ def term_dict_from_postings(postings: DataFrame) -> DataFrame:
     Two-phase range rank — no single-partition window at vocab scale."""
     from .fulltext import dense_rank_ids
     return dense_rank_ids(
-        term_stats_from_postings(postings), ["term"], "term_id", start=1)
+        term_stats_from_postings(postings), ["term"], "term_id", start=1,
+        precache=True)
 
 
 def corpus_stats_from_postings(postings: DataFrame, n_docs: int) -> float:

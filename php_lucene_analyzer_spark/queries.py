@@ -106,7 +106,7 @@ def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     never funnels through one executor."""
     from .operators.fulltext import dense_rank_ids
     return (dense_rank_ids(q_term_stats(spark, sf_dir), ["term"],
-                           "term_id", start=1)
+                           "term_id", start=1, precache=True)
             .select("term_id", "term", "df", "cf"))
 
 
@@ -375,6 +375,11 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(LSH_N_HASHES)])
         .select("doc_id", F.array(*[f"h{i}" for i in range(LSH_N_HASHES)])
                 .alias("sig")))
+    # the banded SELF-join reads sigs twice (and the verify join a third
+    # time); checkpoint so the shingle+16-md5 aggregation runs ONCE —
+    # localCheckpoint is GC-released, so nothing leaks across the
+    # driver's repeated invocations (unlike .cache())
+    sigs = sigs.localCheckpoint(eager=False)
     rows_per_band = LSH_N_HASHES // LSH_BANDS
     band_cols = [
         F.struct(F.lit(b).alias("band"),
