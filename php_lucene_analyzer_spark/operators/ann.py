@@ -10,6 +10,12 @@
   seed): bucket by the b-bit code, search only colliding buckets (with
   multi-probe on 1-bit flips), exact rerank inside candidates.  Recall<1
   by construction; the scale path when even one matmul pass is too much.
+* ``ivf_cosine_topk``  — inverted-file index (IVF-flat): k-means coarse
+  quantizer trained driver-side on a bounded sample (deterministic
+  seed), vectors assigned to their nearest centroid's list, queries
+  search only the ``nprobe`` nearest lists with exact rerank inside.
+  The standard beyond-matmul ANN shape (Jegou et al., public
+  literature): scan fraction ~= nprobe/nlist, recall tunable by nprobe.
 
 The oracle-matched DataFrame variant lives in queries.q_ann_cosine (same
 math, crossJoin form, verifiable in DuckDB).
@@ -144,3 +150,96 @@ def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "vec_id", F.round("cosine", 6).alias("cosine")))
+
+
+# ------------------------------------------------------------------ IVF
+
+def _kmeans(sample: np.ndarray, nlist: int, seed: int = 42,
+            iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on the DRIVER over a bounded
+    sample (the coarse quantizer is tiny: nlist x dim floats).  Vectors
+    and centroids are L2-normalized so argmax-dot == argmin-angle."""
+    rng = np.random.default_rng(seed)
+    s = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                            1e-30)
+    cent = s[rng.choice(len(s), size=min(nlist, len(s)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = s[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, list_id) — nearest-centroid assignment, one matmul per
+    Arrow batch.  At build time this runs ONCE over the corpus; the
+    output is the partition/bucketing key for the vector table."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def gen(batches):
+        cent = bc.value
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(),
+                "list_id": np.argmax(m @ cent.T, axis=1).astype(np.int64)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_id long, list_id long")
+
+
+def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nlist: int = 16, nprobe: int = 4, seed: int = 42,
+                    train_cap: int = 50_000) -> DataFrame:
+    """IVF-flat ANN -> (qid, rank, vec_id, cosine).
+
+    Scale shape: train on a bounded sample (driver-side NumPy k-means —
+    the quantizer is nlist x dim, tiny), assign map-side, then each
+    query scans only its nprobe nearest lists (broadcast (qid, list_id)
+    probe table -> hash join -> blocked exact rerank).  Expected scanned
+    fraction nprobe/nlist; recall tested against cosine_topk in
+    tests/test_dedup_ann.py.  exclude_self matches cosine_topk."""
+    spark = emb.sparkSession
+    sample = np.array(
+        [r[0] for r in emb.select(vec_col).limit(train_cap).collect()],
+        dtype=np.float64)
+    cent = _kmeans(sample, nlist, seed)
+    assigned = ivf_assign(emb, cent, id_col, vec_col)
+    with_lists = emb.join(assigned, emb[id_col] == assigned["vec_id"]) \
+                    .select(assigned["vec_id"].alias("vid"), vec_col,
+                            "list_id")
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probe_df = spark.createDataFrame(
+        [(int(q), int(l)) for i, q in enumerate(qids)
+         for l in probe_lists[i]], "qid long, list_id long")
+    cand = with_lists.join(F.broadcast(probe_df), "list_id") \
+                     .filter(F.col("vid") != F.col("qid"))
+    qvec = spark.createDataFrame(
+        [(int(q), qm[i].tolist()) for i, q in enumerate(qids)],
+        "qid long, qv array<double>")
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col(vec_col),
+                                 lambda x, y: x * y.cast("double")),
+                      F.lit(0.0), lambda a, x: a + x)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, x: a + x))
+    scored = (cand.join(F.broadcast(qvec), "qid")
+              .select("qid", F.col("vid").alias("vec_id"),
+                      (dot / nrm).alias("cosine")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id",
+                    F.round("cosine", 6).alias("cosine")))

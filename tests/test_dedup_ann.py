@@ -191,3 +191,40 @@ def test_quality_score_unicode_mode(spark):
            textstats.quality_score(docs, "doc_id", "text").collect()}
     assert asc[1]["n_tokens"] == 0          # the documented ASCII limit
     assert asc[2]["quality"] == uni[2]["quality"]  # latin text unaffected
+
+
+def test_ivf_ann_recall_and_scan_fraction(spark, emb):
+    """IVF-flat: recall vs exact at nprobe=4/nlist=8 (the embeddings are
+    near-random — the hard case), nprobe=nlist degenerates to exact, and
+    the candidate scan is bounded by the probed lists."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann.cosine_topk(emb, queries, k=5).collect()
+    ex = {(r["qid"], r["vec_id"]) for r in exact}
+
+    approx = ann.ivf_cosine_topk(emb, queries, k=5, nlist=8,
+                                 nprobe=4).collect()
+    ap = {(r["qid"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall
+    for r in approx:  # exact rerank inside candidates -> true cosines
+        assert -1.0 <= r["cosine"] <= 1.0
+
+    # probing EVERY list must reproduce the exact result set + order
+    full = ann.ivf_cosine_topk(emb, queries, k=5, nlist=8,
+                               nprobe=8).collect()
+    assert [(r["qid"], r["rank"], r["vec_id"]) for r in full] \
+        == [(r["qid"], r["rank"], r["vec_id"]) for r in exact]
+
+    # assignment covers every vector exactly once, lists are bounded
+    from php_lucene_analyzer_spark.operators.ann import _kmeans, ivf_assign
+    import numpy as np
+    sample = np.array([r[0] for r in emb.select("embedding").collect()],
+                      dtype=np.float64)
+    cent = _kmeans(sample, 8)
+    assigned = ivf_assign(emb, cent)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    sizes = [r["c"] for r in assigned.groupBy("list_id")
+             .agg(F.count("*").alias("c")).collect()]
+    assert sum(sizes) == n and len(sizes) <= 8
