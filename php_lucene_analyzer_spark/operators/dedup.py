@@ -272,3 +272,53 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# -------------------------------------------------- decontamination
+
+def ngram_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str | None = None,
+                        n: int = 13, hash_shingles: bool = False) -> DataFrame:
+    """Training-corpus decontamination against a benchmark/eval set:
+    flag docs sharing at least one word ``n``-gram with ANY benchmark
+    document -> (doc_id, n_hits = distinct colliding n-grams).  n=13 is
+    the published LLM-pipeline default (GPT-3 appendix / The Pile).
+
+    Scale shape: the benchmark side (eval sets, tiny vs the corpus) is
+    reduced to DISTINCT n-grams and BROADCAST; corpus n-grams are
+    produced map-side from each doc's own token array (JVM transform —
+    no corpus-wide shuffle before the per-doc count agg, which keys on
+    doc_id and is uniformly distributed).  ``hash_shingles`` replaces
+    the n-gram strings with xxhash64 on both sides — ~10x smaller
+    broadcast/shuffle payloads at a vanishing collision risk (not used
+    by the oracle-matched contract query, which needs exact string
+    semantics in both engines)."""
+    bcol = bench_text_col or text_col
+
+    def shingle_rows(df: DataFrame, col: str, out_id: str | None):
+        toks = F.array_remove(F.split(F.lower(F.col(col)), "[^a-z0-9]+"), "")
+        t = F.col("_toks")
+        sh = F.when(
+            F.size(t) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(t, i + j + 1)
+                                   for j in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+        base = df.withColumn("_toks", toks)
+        cols = ([F.col(out_id)] if out_id else []) + \
+            [F.explode(sh).alias("s")]
+        out = base.select(*cols)
+        if hash_shingles:
+            out = out.withColumn("s", F.xxhash64("s"))
+        return out
+
+    bench = shingle_rows(
+        benchmark.select(F.col(bcol)), bcol, None).distinct()
+    corpus = shingle_rows(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col, "doc_id")
+    return (corpus.join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("s").alias("n_hits")))

@@ -10,8 +10,9 @@ regexp_replace needs the 'g' flag (Spark replaces all by default).
 from __future__ import annotations
 
 from .analysis.filters import ENGLISH_STOP_WORDS
-from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, LSH_BANDS,
-                      LSH_MIN_JACCARD, LSH_N_HASHES, PHRASE_QUERIES)
+from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, DECONTAM_BENCH,
+                      DECONTAM_N, LSH_BANDS, LSH_MIN_JACCARD, LSH_N_HASHES,
+                      PHRASE_QUERIES)
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
@@ -217,6 +218,23 @@ WITH t AS (SELECT doc_id,
 m AS ({" UNION ALL ".join(_phrase_arm(q, p)
                           for q, p in PHRASE_QUERIES.items())})
 SELECT qid, doc_id, n_matches FROM m WHERE n_matches > 0
+"""
+
+ORACLES["decontaminate"] = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {DECONTAM_N} THEN
+           list_transform(generate_series(1, len(toks) - {DECONTAM_N - 1}),
+             i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' '))
+           ELSE []::VARCHAR[] END) AS s
+       FROM t),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {DECONTAM_BENCH})
+SELECT doc_id, count(DISTINCT s)::BIGINT AS n_hits
+FROM sh WHERE doc_id >= {DECONTAM_BENCH} AND s IN (SELECT s FROM bench)
+GROUP BY 1
 """
 
 ORACLES["jaccard_adjacent"] = f"""

@@ -47,6 +47,11 @@ PHRASE_QUERIES = {
     "p3": "the spark stream",
 }
 
+# decontamination contract: docs sharing a 13-gram (the published LLM-
+# pipeline default) with the "benchmark" slice doc_id < DECONTAM_BENCH
+DECONTAM_N = 13
+DECONTAM_BENCH = 100
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -451,6 +456,20 @@ def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id").limit(200))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through the REAL operator
+    (operators/dedup.py::ngram_decontaminate): docs sharing any word
+    13-gram with the benchmark slice (doc_id < 100) -> (doc_id, n_hits).
+    The benchmark's distinct n-grams broadcast; corpus n-grams are
+    produced map-side from each doc's own token array."""
+    from .operators.dedup import ngram_decontaminate
+    docs = _docs(spark, sf_dir)
+    return ngram_decontaminate(
+        docs.filter(F.col("doc_id") >= DECONTAM_BENCH),
+        docs.filter(F.col("doc_id") < DECONTAM_BENCH),
+        n=DECONTAM_N)
+
+
 QUERIES = {
     "tf": q_tf,
     "content_sha": q_content_sha,
@@ -474,4 +493,5 @@ QUERIES = {
     "simhash": q_simhash,
     "lsh_pairs": q_lsh_pairs,
     "phrase_match": q_phrase_match,
+    "decontaminate": q_decontaminate,
 }

@@ -228,3 +228,28 @@ def test_ivf_ann_recall_and_scan_fraction(spark, emb):
     sizes = [r["c"] for r in assigned.groupBy("list_id")
              .agg(F.count("*").alias("c")).collect()]
     assert sum(sizes) == n and len(sizes) <= 8
+
+
+def test_ngram_decontaminate(spark):
+    """Docs sharing a word 13-gram with the benchmark are flagged with
+    the distinct-collision count; clean docs are absent; the hashed
+    variant agrees (collision-free at this scale)."""
+    import pandas as pd
+    from php_lucene_analyzer_spark.operators.dedup import (
+        ngram_decontaminate)
+
+    span = " ".join(f"w{i}" for i in range(13))          # one 13-gram
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0], "text": [f"intro {span} outro"]}))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [f"copied {span} tail",                  # contaminated
+                 "totally different words " * 5,         # clean
+                 span]}))                                # exact 13 tokens
+    got = {r["doc_id"]: r["n_hits"]
+           for r in ngram_decontaminate(docs, bench).collect()}
+    assert got == {10: 1, 12: 1}
+    hashed = {r["doc_id"]: r["n_hits"]
+              for r in ngram_decontaminate(docs, bench,
+                                           hash_shingles=True).collect()}
+    assert hashed == got
