@@ -94,26 +94,41 @@ class FulltextIndex:
     # --------------------------------------------------------- save/load
     def save(self, path: str) -> None:
         """Sorted-by-term postings parquet (row-group min/max prune term
-        lookups) + optional positional blocks + stats.json."""
+        lookups) + optional positional blocks + stats.json — all stamped
+        with format headers (functions/header.py, the CodecUtil role) so
+        a stale-layout load fails with a versioned error."""
+        from .functions.header import (INDEX_WORKDIR_CODEC,
+                                       INDEX_WORKDIR_VERSION,
+                                       POSITIONAL_CODEC, POSITIONAL_VERSION,
+                                       header_fields, write_dir_header)
         write_postings(self.postings, os.path.join(path, "postings"))
         if self.positional is not None:
+            pdir = os.path.join(path, "positional")
             (self.positional.repartitionByRange("term")
              .sortWithinPartitions("term", "rbucket", "block_no")
-             .write.mode("overwrite")
-             .parquet(os.path.join(path, "positional")))
+             .write.mode("overwrite").parquet(pdir))
+            write_dir_header(pdir, POSITIONAL_CODEC, POSITIONAL_VERSION)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "stats.json"), "w") as f:
-            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
+            json.dump({**header_fields(INDEX_WORKDIR_CODEC,
+                                       INDEX_WORKDIR_VERSION),
+                       "n_docs": self.n_docs, "avgdl": self.avgdl,
                        "has_positional": self.positional is not None}, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
              analyzer=None) -> "FulltextIndex":
         """Reopen a saved index; the caller must supply the SAME analyzer
-        the index was built with (chains are code, not data)."""
+        the index was built with (chains are code, not data).  Format
+        headers are checked before any decode."""
+        from .functions.header import (INDEX_WORKDIR_CODEC,
+                                       INDEX_WORKDIR_VERSION, check_fields)
+        from .operators.postings import read_postings
         with open(os.path.join(path, "stats.json")) as f:
             stats = json.load(f)
-        postings = spark.read.parquet(os.path.join(path, "postings"))
+        check_fields(stats, INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION,
+                     INDEX_WORKDIR_VERSION, f"{path}/stats.json")
+        postings = read_postings(spark, os.path.join(path, "postings"))
         tstats = term_stats_from_postings(postings)
         pos = None
         if stats.get("has_positional"):

@@ -98,3 +98,24 @@ def test_resumable_build_rejects_stale_workdir(spark):
             ResumableIndexBuild(spark, wd, chunk_docs=40,
                                 text_col="content").run(docs,
                                                         ["repo", "path"])
+
+
+def test_engine_save_load_format_guard(spark, docs):
+    """FulltextIndex.save stamps headers everywhere; load refuses a
+    stale stats.json with a versioned error."""
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = FulltextIndex.build(spark, docs.limit(50), ["doc_id"],
+                                  text_col="text")
+        idx.save(d)
+        assert os.path.exists(os.path.join(d, "postings", "_FORMAT.json"))
+        got = FulltextIndex.load(spark, d)
+        assert got.n_docs == idx.n_docs
+        with open(os.path.join(d, "stats.json")) as f:
+            stats = json.load(f)
+        stats["version"] = 1
+        with open(os.path.join(d, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        with pytest.raises(FormatError, match="older"):
+            FulltextIndex.load(spark, d)
