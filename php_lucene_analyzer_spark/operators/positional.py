@@ -91,9 +91,13 @@ def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
     })
 
 
+FLUSH_POSITIONS = 1 << 19
+
+
 def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
                         text_col: str = "content",
-                        rbucket_base: int = 0, terms_fn=None) -> DataFrame:
+                        rbucket_base: int = 0, terms_fn=None,
+                        flush_positions: int = FLUSH_POSITIONS) -> DataFrame:
     """Fused analyze (FULL chain, graph positions) -> positional blocks.
     Requires doc-range-partitioned input (with_doc_ids output) — same
     segment model as postings.index_corpus: zero extra shuffle, heavy
@@ -103,14 +107,66 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
     ``terms_fn``: optional text -> list[str]; positions become the token
     indices (no graph holes).  This is the SQL-expressible tokenization
     mode the driver oracle verifies (oracles.py::phrase_match); the
-    default (None) keeps the full chain's pos_inc/pos_len graph."""
+    default (None) keeps the full chain's pos_inc/pos_len graph.
+
+    Like postings.index_corpus, the per-partition accumulator flushes to
+    finished block rows every ``flush_positions`` stored positions (the
+    positional working set is the BM25 one plus the flat position
+    arrays, so the bound matters even more here); each flush gets its
+    own rbucket and holds all positions of a disjoint doc set, so
+    phrase evaluation per rbucket still sees complete documents."""
+    from .postings import RBUCKET_STRIDE
 
     def build(batches):
         from pyspark import TaskContext
 
-        pid = rbucket_base + TaskContext.get().partitionId()
+        base = rbucket_base + TaskContext.get().partitionId()
         # per-term accumulators: docs, per-doc counts, flat positions
         acc: dict[str, tuple] = {}
+        state = {"pending": 0, "flush_no": 0}
+
+        def flush() -> pd.DataFrame | None:
+            if not acc:
+                return None
+            terms = sorted(acc)
+            dsizes = np.array([len(acc[t][0]) for t in terms],
+                              dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(dsizes)))
+            psizes = np.array([len(acc[t][2]) for t in terms],
+                              dtype=np.int64)
+            poffs = np.concatenate(([0], np.cumsum(psizes)))
+            docs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
+            freqs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
+            pos_a = np.empty(int(poffs[-1]), dtype=np.uint64)
+            for i, term in enumerate(terms):
+                d, f, p = acc[term]
+                s, e = offsets[i], offsets[i + 1]
+                ps, pe = poffs[i], poffs[i + 1]
+                docs_a[s:e] = d
+                freqs_a[s:e] = f
+                pos_a[ps:pe] = p
+                # doc-order guard (same as postings.index_corpus): range
+                # partitioning does NOT sort within partitions, so input
+                # rows can arrive doc-unordered — re-sort docs AND gather
+                # each doc's position slice along
+                if e - s > 1 and not (docs_a[s + 1:e] >= docs_a[s:e - 1]).all():
+                    order = np.argsort(docs_a[s:e], kind="stable")
+                    fl = freqs_a[s:e].astype(np.int64)
+                    starts = ps + np.concatenate(
+                        ([0], np.cumsum(fl)))[:-1]
+                    gather = np.concatenate(
+                        [np.arange(starts[j], starts[j] + fl[j])
+                         for j in order])
+                    docs_a[s:e] = docs_a[s:e][order]
+                    freqs_a[s:e] = freqs_a[s:e][order]
+                    pos_a[ps:pe] = pos_a[gather]
+            rb = base * RBUCKET_STRIDE + state["flush_no"]
+            acc.clear()
+            state["pending"] = 0
+            state["flush_no"] += 1
+            return _pos_block_rows(terms, offsets, docs_a, freqs_a,
+                                   pos_a, rb)
+
         for pdf in batches:
             for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
                 per_term: dict[str, list[int]] = {}
@@ -131,37 +187,14 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
                     e[0].append(did)
                     e[1].append(len(ps))
                     e[2].extend(ps)
-        terms = sorted(acc)
-        dsizes = np.array([len(acc[t][0]) for t in terms], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(dsizes)))
-        psizes = np.array([len(acc[t][2]) for t in terms], dtype=np.int64)
-        poffs = np.concatenate(([0], np.cumsum(psizes)))
-        docs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
-        freqs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
-        pos_a = np.empty(int(poffs[-1]), dtype=np.uint64)
-        for i, term in enumerate(terms):
-            d, f, p = acc[term]
-            s, e = offsets[i], offsets[i + 1]
-            ps, pe = poffs[i], poffs[i + 1]
-            docs_a[s:e] = d
-            freqs_a[s:e] = f
-            pos_a[ps:pe] = p
-            # doc-order guard (same as postings.index_corpus): range
-            # partitioning does NOT sort within partitions, so input rows
-            # can arrive doc-unordered — re-sort docs AND gather each
-            # doc's position slice along
-            if e - s > 1 and not (docs_a[s + 1:e] >= docs_a[s:e - 1]).all():
-                order = np.argsort(docs_a[s:e], kind="stable")
-                fl = freqs_a[s:e].astype(np.int64)
-                starts = ps + np.concatenate(
-                    ([0], np.cumsum(fl)))[:-1]
-                gather = np.concatenate(
-                    [np.arange(starts[j], starts[j] + fl[j])
-                     for j in order])
-                docs_a[s:e] = docs_a[s:e][order]
-                freqs_a[s:e] = freqs_a[s:e][order]
-                pos_a[ps:pe] = pos_a[gather]
-        yield _pos_block_rows(terms, offsets, docs_a, freqs_a, pos_a, pid)
+                    state["pending"] += len(ps)
+                if state["pending"] >= flush_positions:
+                    out = flush()
+                    if out is not None:
+                        yield out
+        out = flush()
+        if out is not None:
+            yield out
 
     return docs_with_ids.select(id_col, text_col).mapInPandas(
         build, schema=POS_SCHEMA)

@@ -185,3 +185,31 @@ def test_positional_build_handles_unordered_partitions(spark, docs):
            for r in phrase_match(b, "merge join").collect()}
     want = _oracle(docs.collect(), "merge join")
     assert got == want and got
+
+
+def test_positional_flush_identical_phrases(spark):
+    """Multi-flush positional build (tiny flush budget, doc-unsorted
+    partition) must produce identical phrase results to single-flush."""
+    import pandas as pd
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, positional_postings)
+
+    rows = [(i, f"alpha beta gamma{i % 3} delta alpha beta")
+            for i in range(120)]
+    rows = rows[1::2] + rows[0::2]  # doc-unsorted
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])).coalesce(1)
+    small = positional_postings(docs, "doc_id", "text",
+                                flush_positions=100).cache()
+    big = positional_postings(docs, "doc_id", "text").cache()
+    assert small.select("rbucket").distinct().count() > 3
+    assert big.select("rbucket").distinct().count() == 1
+    for phrase in ("alpha beta", "beta gamma1 delta"):
+        a = [(r["doc_id"], r["n_matches"])
+             for r in phrase_match(small, phrase).collect()]
+        b = [(r["doc_id"], r["n_matches"])
+             for r in phrase_match(big, phrase).collect()]
+        assert a == b and a
+    small.unpersist()
+    big.unpersist()
