@@ -52,6 +52,11 @@ def dense_rank_ids(df: DataFrame, order_cols: list[str], id_col: str,
     spark = df.sparkSession
     if precache:
         from pyspark import StorageLevel
+        # never touch a persistence level the CALLER chose — unpersisting
+        # below would silently evict their cache (same rule as
+        # postings.write_postings)
+        precache = df.storageLevel == StorageLevel.NONE
+    if precache:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n_part = partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, *order_cols) \
