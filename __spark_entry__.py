@@ -56,12 +56,55 @@ def entry(spark: SparkSession) -> DataFrame:
                            {"flagship": FLAGSHIP_QUERY})
 
 
+# Frozen golden top-10 for the wand_fullchain suite (qid, doc_id,
+# round(score, 4)) — the driver's check for this entry is rows-only (no
+# SQL oracle can run the WDGF+Porter2 chain), so the entry pins its own
+# values: a scorer/analyzer drift fails HERE, at the driver, not only in
+# pytest.  Regenerate with scripts/freeze_wand_golden.py after any
+# intentional chain/scoring change.
+_WAND_GOLDEN: dict[str, list[tuple[str, int, float]]] = {}
+
+
+def _load_wand_golden() -> None:
+    import json
+    import os
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", "fixtures", "wand_fullchain_golden.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            raw = json.load(f)
+        _WAND_GOLDEN.update({
+            sf: [(r[0], int(r[1]), float(r[2])) for r in rows]
+            for sf, rows in raw.items()})
+
+
+_load_wand_golden()
+
+
+def _check_wand_golden(sf_dir: str, rows) -> None:
+    import os
+    key = os.path.basename(os.path.normpath(sf_dir))
+    golden = _WAND_GOLDEN.get(key)
+    if golden is None:
+        return
+    got = sorted((r["qid"], int(r["doc_id"]), round(float(r["score"]), 4))
+                 for r in rows)
+    if got != sorted(golden):
+        raise AssertionError(
+            f"wand_fullchain drifted from the frozen golden fixture at "
+            f"{key}: got {got[:5]}... expected {sorted(golden)[:5]}...")
+
+
 def _wand_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fullchain_wand(spark, sf_dir, {
+    res = _fullchain_wand(spark, sf_dir, {
         "w1": FLAGSHIP_QUERY,
         "w2": "the spark stream batch",
         "w3": "window sort vector",
     })
+    # _fullchain_wand returns a small recreated DataFrame (k x 3 rows) —
+    # collecting it again is driver-local and bounded
+    _check_wand_golden(sf_dir, res.collect())
+    return res
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

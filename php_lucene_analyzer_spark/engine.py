@@ -62,7 +62,25 @@ class FulltextIndex:
         pos = None
         if positional:
             pos = positional_postings(ids, "doc_id", text_col).cache()
-        return cls(spark, postings, tstats, n_docs, avgdl, analyzer, pos)
+        idx = cls(spark, postings, tstats, n_docs, avgdl, analyzer, pos)
+        idx._cached = [ids, postings, tstats] + ([pos] if pos is not None
+                                                 else [])
+        return idx
+
+    def close(self) -> None:
+        """Release every DataFrame ``build`` cached.  Idempotent; a loaded
+        index (nothing cached) is a no-op.  Without this, repeated
+        build/drop cycles accumulate persisted RDDs until eviction
+        thrash — the same leak class fixed in the dedup operators."""
+        for df in getattr(self, "_cached", []):
+            df.unpersist()
+        self._cached = []
+
+    def __enter__(self) -> "FulltextIndex":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # ------------------------------------------------------------- query
     def _terms(self, query: str) -> list[str]:
@@ -83,6 +101,29 @@ class FulltextIndex:
                     else None)
         return wand_topk_many(self.postings, self.tstats, self.n_docs,
                               self.avgdl, queries, k, terms_fn=terms_fn)
+
+    def search_fuzzy(self, query: str, k: int = 10, max_edits: int = 2,
+                     prefix_len: int = 0) -> DataFrame:
+        """Lucene FuzzyQuery's role: expand each analyzed query term to
+        its Levenshtein neighborhood over the term dictionary
+        (operators/fulltext.py::fuzzy_expand — length-band prune + JVM
+        levenshtein, no DFA), then block-max WAND over the expanded
+        OR-set.  Scoring note: Lucene downweights fuzzy matches by
+        (1 - dist/len); this engine scores plain BM25 over the expanded
+        set — documented divergence, same candidate semantics.  The
+        collect is bounded: an edit-distance neighborhood is tiny."""
+        from .operators.fulltext import fuzzy_expand
+        expanded: set[str] = set()
+        for t in self._terms(query):
+            expanded.update(
+                r["term"] for r in
+                fuzzy_expand(self.tstats, t, max_edits,
+                             prefix_len).collect())
+        if not expanded:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        return wand_topk_terms(self.postings, self.tstats, self.n_docs,
+                               self.avgdl, sorted(expanded), k)
 
     def phrase(self, phrase: str) -> DataFrame:
         """Exact-phrase docs -> (doc_id, n_matches); needs
@@ -122,7 +163,9 @@ class FulltextIndex:
         the index was built with (chains are code, not data).  Format
         headers are checked before any decode."""
         from .functions.header import (INDEX_WORKDIR_CODEC,
-                                       INDEX_WORKDIR_VERSION, check_fields)
+                                       INDEX_WORKDIR_VERSION,
+                                       POSITIONAL_CODEC, POSITIONAL_VERSION,
+                                       check_dir_header, check_fields)
         from .operators.postings import read_postings
         with open(os.path.join(path, "stats.json")) as f:
             stats = json.load(f)
@@ -132,6 +175,12 @@ class FulltextIndex:
         tstats = term_stats_from_postings(postings)
         pos = None
         if stats.get("has_positional"):
-            pos = spark.read.parquet(os.path.join(path, "positional"))
+            pdir = os.path.join(path, "positional")
+            # verify the format header BEFORE any decode (a stale/foreign
+            # positional layout must fail at open, not mid-query) —
+            # mirrors read_postings
+            check_dir_header(pdir, POSITIONAL_CODEC, POSITIONAL_VERSION,
+                             POSITIONAL_VERSION)
+            pos = spark.read.parquet(pdir)
         return cls(spark, postings, tstats, int(stats["n_docs"]),
                    float(stats["avgdl"]), analyzer, pos)

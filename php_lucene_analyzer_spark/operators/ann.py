@@ -197,27 +197,58 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
         gen, schema="vec_id long, list_id long")
 
 
-def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    nlist: int = 16, nprobe: int = 4, seed: int = 42,
-                    train_cap: int = 50_000) -> DataFrame:
-    """IVF-flat ANN -> (qid, rank, vec_id, cosine).
+class IVFIndex:
+    """Built IVF-flat index: coarse quantizer (nlist x dim centroids,
+    driver-side) + the assigned vector table, materialized ONCE
+    (localCheckpoint — reused by every query call, GC-released when the
+    index object is dropped).  Build once / query many, the same
+    lifecycle split as FulltextIndex."""
 
-    Scale shape: train on a bounded sample (driver-side NumPy k-means —
-    the quantizer is nlist x dim, tiny), assign map-side, then each
-    query scans only its nprobe nearest lists (broadcast (qid, list_id)
-    probe table -> hash join -> blocked exact rerank).  Expected scanned
-    fraction nprobe/nlist; recall tested against cosine_topk in
-    tests/test_dedup_ann.py.  exclude_self matches cosine_topk."""
-    spark = emb.sparkSession
+    def __init__(self, centroids: np.ndarray, with_lists: DataFrame,
+                 vec_col: str):
+        self.centroids = centroids
+        self.with_lists = with_lists
+        self.vec_col = vec_col
+
+
+def ivf_build(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", nlist: int = 16, seed: int = 42,
+              train_cap: int = 50_000) -> IVFIndex | None:
+    """Train the coarse quantizer and assign every vector to its list.
+
+    The training sample is drawn CORPUS-WIDE and deterministically:
+    orderBy(xxhash64(id)) + limit plans as TakeOrderedAndProject
+    (per-partition top-cap, merged on the driver — no global sort), and
+    hash order is pseudo-random, so the sample covers every shard's
+    distribution instead of whatever partitions happen to scan first
+    (``limit`` alone takes the first partitions — skewed centroids and
+    recall collapse at scale) and is identical at any partitioning.
+    Returns None on an empty corpus."""
     sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(train_cap).collect()],
-        dtype=np.float64)
+        [r[0] for r in emb.select(vec_col)
+         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+         .limit(train_cap).collect()], dtype=np.float64)
+    if sample.size == 0:
+        return None
     cent = _kmeans(sample, nlist, seed)
     assigned = ivf_assign(emb, cent, id_col, vec_col)
-    with_lists = emb.join(assigned, emb[id_col] == assigned["vec_id"]) \
-                    .select(assigned["vec_id"].alias("vid"), vec_col,
-                            "list_id")
+    with_lists = (emb.join(assigned, emb[id_col] == assigned["vec_id"])
+                  .select(assigned["vec_id"].alias("vid"), vec_col,
+                          "list_id")
+                  .localCheckpoint(eager=False))
+    return IVFIndex(cent, with_lists, vec_col)
+
+
+def ivf_query(index: IVFIndex, queries: DataFrame, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              nprobe: int = 4) -> DataFrame:
+    """Query a built IVFIndex -> (qid, rank, vec_id, cosine): each query
+    scans only its ``nprobe`` nearest lists (broadcast (qid, list_id)
+    probe table -> hash join -> exact rerank inside candidates).
+    Expected scanned fraction ~= nprobe/nlist."""
+    spark = index.with_lists.sparkSession
+    cent = index.centroids
+    with_lists = index.with_lists
     qids, qm = _collect_queries(queries, id_col, vec_col)
     probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
     probe_df = spark.createDataFrame(
@@ -228,11 +259,12 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     qvec = spark.createDataFrame(
         [(int(q), qm[i].tolist()) for i, q in enumerate(qids)],
         "qid long, qv array<double>")
-    dot = F.aggregate(F.zip_with(F.col("qv"), F.col(vec_col),
+    vcol = index.vec_col  # candidate side keeps the build-time column name
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col(vcol),
                                  lambda x, y: x * y.cast("double")),
                       F.lit(0.0), lambda a, x: a + x)
     nrm = F.sqrt(F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+        F.transform(F.col(vcol), lambda x: x.cast("double") * x),
         F.lit(0.0), lambda a, x: a + x))
     scored = (cand.join(F.broadcast(qvec), "qid")
               .select("qid", F.col("vid").alias("vec_id"),
@@ -243,3 +275,18 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "vec_id",
                     F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nlist: int = 16, nprobe: int = 4, seed: int = 42,
+                    train_cap: int = 50_000) -> DataFrame:
+    """One-shot convenience: ivf_build + ivf_query.  Callers issuing
+    multiple query batches should build once (``ivf_build``) and query
+    many — the assigned table is materialized once per index, not per
+    call.  Empty corpus -> empty result."""
+    index = ivf_build(emb, id_col, vec_col, nlist, seed, train_cap)
+    if index is None:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, rank long, vec_id long, cosine double")
+    return ivf_query(index, queries, k, id_col, vec_col, nprobe)

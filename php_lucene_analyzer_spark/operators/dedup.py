@@ -113,8 +113,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
     # empty docs carry the all-max sentinel (int64 -1 after the cast):
-    # no signature -> no LSH participation
-    sigs = sigs.filter(F.col("sig")[0] != -1).cache()
+    # no signature -> no LSH participation.  The signature table is read
+    # three times (two bucket sides + the verify join): localCheckpoint
+    # computes it once and is GC-released with the returned DataFrame —
+    # unlike .cache(), repeated calls cannot accumulate leaked storage
+    sigs = sigs.filter(F.col("sig")[0] != -1).localCheckpoint(eager=False)
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
                  F.xxhash64(*[F.col("sig")[bi * rows_per_band + r]
@@ -249,7 +252,9 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     """Candidate pairs whose simhashes differ by <= max_hamming bits.
     Banding on 4x16-bit sub-keys (a pair within Hamming distance 3 must
     agree on at least one of 4 bands) then exact popcount verification."""
-    sh = simhash64(docs, id_col, text_col).cache()
+    # fingerprints feed both self-join sides: localCheckpoint (computed
+    # once, GC-released — no storage leak across repeated calls)
+    sh = simhash64(docs, id_col, text_col).localCheckpoint(eager=False)
     band_cols = [F.struct(
         F.lit(bi).alias("band"),
         F.shiftrightunsigned(F.col("simhash"), bi * 16)

@@ -28,9 +28,18 @@ K1 = 1.2
 B = 0.75
 
 
+# below this row count the single-partition windowed rank beats the
+# two-phase scheme's 3 extra jobs on measured hardware (BENCH/
+# vocab_bench.py: window wins at 10M terms, two-phase 2.2x at 40M);
+# chosen well under the crossover so the windowed sort stays trivially
+# in one task's memory
+SMALL_RANK_THRESHOLD = 5_000_000
+
+
 def dense_rank_ids(df: DataFrame, order_cols: list[str], id_col: str,
                    partitions: int | None = None, start: int = 0,
-                   precache: bool = False) -> DataFrame:
+                   precache: bool = False,
+                   small_threshold: int = 0) -> DataFrame:
     """Dense, deterministic int64 ``id_col`` = ``start`` + global rank of
     ``order_cols`` (which must be a unique key).
 
@@ -48,6 +57,16 @@ def dense_rank_ids(df: DataFrame, order_cols: list[str], id_col: str,
     Use for inputs that are themselves expensive aggregations but small
     relative to the corpus (term-stats tables); leave off for raw-corpus
     doc ids, where a parquet re-scan beats materializing 100 TB.
+
+    ``small_threshold`` (adaptive mode, 0 = off): count the input first
+    and, below the threshold, assign ids with a single-partition window
+    instead — IDENTICAL ids by construction (both are the global rank of
+    the unique key), but one sort job instead of the two-phase scheme's
+    sampling + checkpoint + counts jobs, which dominate latency on small
+    vocabularies (BENCH/vocab_bench.py).  The windowed result is eagerly
+    checkpointed (bounded by the threshold) so the precached input can be
+    released; above the threshold the extra count costs one cached-scan
+    job and the scale-safe two-phase path runs unchanged.
     """
     spark = df.sparkSession
     if precache:
@@ -58,6 +77,16 @@ def dense_rank_ids(df: DataFrame, order_cols: list[str], id_col: str,
         precache = df.storageLevel == StorageLevel.NONE
     if precache:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if small_threshold:
+        if df.count() < small_threshold:
+            out = df.withColumn(
+                id_col,
+                (F.row_number().over(Window.orderBy(*order_cols))
+                 - 1 + start).cast("long"))
+            out = out.localCheckpoint(eager=True)
+            if precache:
+                df.unpersist()
+            return out
     n_part = partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, *order_cols) \
                .withColumn("_pid", F.spark_partition_id()) \
@@ -188,9 +217,36 @@ def term_dict(tstats: DataFrame) -> DataFrame:
     SURVEY §1.4) via the same two-phase range-rank as doc ids — a
     10^8-10^9-term code vocabulary never funnels through one partition
     (a global orderBy window would); stored sorted so prefix/range
-    queries prune by min/max."""
+    queries prune by min/max.  Adaptive: below SMALL_RANK_THRESHOLD terms
+    the single-partition windowed rank runs instead (identical ids,
+    fewer jobs — BENCH/vocab_bench.py's measured crossover)."""
     return dense_rank_ids(tstats, ["term"], "term_id", start=1,
-                          precache=True)
+                          precache=True,
+                          small_threshold=SMALL_RANK_THRESHOLD)
+
+
+def fuzzy_expand(tstats: DataFrame, query_term: str, max_edits: int = 2,
+                 prefix_len: int = 0) -> DataFrame:
+    """Terms within ``max_edits`` Levenshtein distance of ``query_term``
+    -> (term, df, dist) — the reference automaton package's remaining
+    role (fuzzy queries; RegExp/RunAutomaton at
+    /root/reference/src/util/automaton/ back Lucene's FuzzyQuery).
+
+    Spark-first substitution: instead of compiling a Levenshtein DFA,
+    prune with necessary conditions that push into the scan — length
+    band (|len(t)-len(q)| <= d) and an optional shared prefix, Lucene
+    FuzzyQuery's prefixLength — then evaluate the built-in
+    ``levenshtein`` (JVM codegen) on the survivors.  Embarrassingly
+    parallel over the term dictionary; no shuffle, no UDF."""
+    q = query_term
+    cond = (F.length("term") >= len(q) - max_edits) & \
+           (F.length("term") <= len(q) + max_edits)
+    if prefix_len > 0:
+        cond = cond & F.col("term").startswith(q[:prefix_len])
+    return (tstats.filter(cond)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .filter(F.col("dist") <= max_edits)
+            .select("term", "df", "dist"))
 
 
 def idf(n_docs: int, df: int) -> float:

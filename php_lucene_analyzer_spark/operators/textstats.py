@@ -28,37 +28,54 @@ _PROFILES = {
 def language_id(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, lang_guess, lang_score) — trigram-profile heuristic with a
-    CJK/Cyrillic script fast path."""
+    CJK/Cyrillic script fast path.
+
+    Vectorized: one ``Series.str.count`` pass per language (a lookahead
+    alternation ``(?=(?:the|and|...))`` counts trigram START positions, so
+    it equals the sum of overlapping per-trigram counts — at most one
+    profile trigram starts at any position) instead of O(len·profiles)
+    interpreted Python per doc."""
+    import re
+
+    lang_names = list(_PROFILES)
+    pats = {lang: "(?=(?:" + "|".join(re.escape(p) for p in prof) + "))"
+            for lang, prof in _PROFILES.items()}
+
     def gen(batches):
         for pdf in batches:
-            langs, scores = [], []
-            for text in pdf[text_col]:
-                t = (text or "").lower()
-                if not t:
-                    langs.append("und")
-                    scores.append(0.0)
-                    continue
-                cjk = sum(1 for c in t if 0x4E00 <= ord(c) <= 0x9FFF)
-                cyr = sum(1 for c in t if 0x0400 <= ord(c) <= 0x04FF)
-                if cjk > len(t) * 0.2:
-                    langs.append("zh")
-                    scores.append(round(cjk / len(t), 4))
-                    continue
-                if cyr > len(t) * 0.2:
-                    langs.append("ru")
-                    scores.append(round(cyr / len(t), 4))
-                    continue
-                tri = [t[i:i + 3] for i in range(len(t) - 2)]
-                best, bs = "und", 0.0
-                n = max(len(tri), 1)
-                for lang, prof in _PROFILES.items():
-                    s = sum(tri.count(p) for p in prof) / n
-                    if s > bs:
-                        best, bs = lang, s
-                langs.append(best if bs > 0 else "und")
-                scores.append(round(bs, 4))
+            t = pdf[text_col].fillna("").astype(str).str.lower()
+            ln = t.str.len().to_numpy(dtype=np.int64)
+            cjk = t.str.count("[\u4e00-\u9fff]").to_numpy(dtype=np.int64)
+            cyr = t.str.count("[\u0400-\u04ff]").to_numpy(dtype=np.int64)
+            n = np.maximum(ln - 2, 1).astype(np.float64)
+            # (langs, docs) score matrix; argmax's first-wins tie-break
+            # matches the scalar loop's strict-greater update in
+            # _PROFILES order
+            scores = np.stack([
+                t.str.count(pats[lang]).to_numpy(dtype=np.float64) / n
+                for lang in lang_names])
+            best_i = np.argmax(scores, axis=0)
+            cols = np.arange(len(t))
+            bs = scores[best_i, cols]
+            langs = np.where(bs > 0, np.array(lang_names,
+                                              dtype=object)[best_i], "und")
+            out_score = np.round(bs, 4)
+            # script fast paths (evaluated before trigrams in the scalar
+            # form) and the empty-doc sentinel override
+            zh = cjk > ln * 0.2
+            ru = ~zh & (cyr > ln * 0.2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                zh_score = np.round(cjk / np.maximum(ln, 1), 4)
+                ru_score = np.round(cyr / np.maximum(ln, 1), 4)
+            langs = np.where(zh, "zh", np.where(ru, "ru", langs))
+            out_score = np.where(zh, zh_score,
+                                 np.where(ru, ru_score, out_score))
+            empty = ln == 0
+            langs = np.where(empty, "und", langs)
+            out_score = np.where(empty, 0.0, out_score)
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
-                                "lang_guess": langs, "lang_score": scores})
+                                "lang_guess": langs.astype(object),
+                                "lang_score": out_score})
 
     return docs.select(id_col, text_col).mapInPandas(
         gen, schema="doc_id long, lang_guess string, lang_score double")

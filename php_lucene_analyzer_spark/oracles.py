@@ -11,8 +11,8 @@ from __future__ import annotations
 
 from .analysis.filters import ENGLISH_STOP_WORDS
 from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, DECONTAM_BENCH,
-                      DECONTAM_N, LSH_BANDS, LSH_MIN_JACCARD, LSH_N_HASHES,
-                      PHRASE_QUERIES)
+                      DECONTAM_N, FUZZY_QUERIES, LSH_BANDS, LSH_MIN_JACCARD,
+                      LSH_N_HASHES, PHRASE_QUERIES)
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
@@ -313,6 +313,19 @@ td AS (SELECT row_number() OVER (ORDER BY term)::BIGINT AS term_id, term, df
        FROM ts)
 SELECT term_id, term, df FROM td
 WHERE term LIKE 's%' OR regexp_matches(term, '^.a.+r$')
+"""
+
+_FUZZY_ARMS = " UNION ALL ".join(
+    f"""
+  SELECT '{qid}' AS qid, term, df, levenshtein(term, '{q}')::BIGINT AS dist
+  FROM ts WHERE length(term) BETWEEN {len(q) - d} AND {len(q) + d}
+    AND levenshtein(term, '{q}') <= {d}"""
+    for qid, (q, d) in FUZZY_QUERIES.items())
+
+ORACLES["fuzzy_terms"] = f"""
+WITH {_TOK}, {_TF},
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+{_FUZZY_ARMS}
 """
 
 ORACLES["quality_score"] = f"""

@@ -52,6 +52,14 @@ PHRASE_QUERIES = {
 DECONTAM_N = 13
 DECONTAM_BENCH = 100
 
+# fuzzy-term contract set: (query, max_edits) — misspellings of
+# documents-vocabulary terms (the automaton package's FuzzyQuery role)
+FUZZY_QUERIES = {
+    "fz1": ("merge", 1),
+    "fz2": ("stream", 2),
+    "fz3": ("vlaue", 2),
+}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -105,13 +113,15 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted term dictionary with dense ids (the FST-role table).
 
-    Uses the engine's two-phase range rank (operators/fulltext.py::
-    dense_rank_ids) — identical ids to row_number() over a global window,
-    but with no single-partition exchange, so a 10^9-term vocabulary
-    never funnels through one executor."""
-    from .operators.fulltext import dense_rank_ids
+    Uses the engine's ADAPTIVE rank (operators/fulltext.py::
+    dense_rank_ids): vocabularies under SMALL_RANK_THRESHOLD take a
+    single windowed sort (this corpus); a 10^9-term vocabulary takes the
+    two-phase range rank with no single-partition exchange.  Ids are
+    identical on both paths (global rank of the unique term key)."""
+    from .operators.fulltext import SMALL_RANK_THRESHOLD, dense_rank_ids
     return (dense_rank_ids(q_term_stats(spark, sf_dir), ["term"],
-                           "term_id", start=1, precache=True)
+                           "term_id", start=1, precache=True,
+                           small_threshold=SMALL_RANK_THRESHOLD)
             .select("term_id", "term", "df", "cf"))
 
 
@@ -345,6 +355,22 @@ def q_prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("term_id", "term", "df"))
 
 
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance term expansion over the term dictionary (SURVEY A19
+    fuzzy role, operators/fulltext.py::fuzzy_expand): length-band prune
+    (scan-level predicate) + built-in levenshtein — no DFA, no UDF, no
+    shuffle beyond the dictionary build."""
+    from .operators.fulltext import fuzzy_expand
+    ts = q_term_stats(spark, sf_dir)
+    out = None
+    for qid, (q, d) in FUZZY_QUERIES.items():
+        m = (fuzzy_expand(ts, q, max_edits=d)
+             .select(F.lit(qid).alias("qid"), "term", "df",
+                     F.col("dist").cast("long").alias("dist")))
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (operators/textstats.py), JVM exprs."""
     from .operators.textstats import quality_score
@@ -431,20 +457,21 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [t for t in pat.split((text or "").lower()) if t]
 
     docs = _docs(spark, sf_dir)
+    # the three phrase evaluations share ONE positional build:
+    # localCheckpoint materializes it eagerly and is GC-released when the
+    # returned DataFrame is dropped (the q_lsh_pairs pattern) — no driver
+    # collect (a common phrase matches unboundedly many docs at scale)
+    # and no cache leaked across the driver's repeated invocations
     pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
-                              "doc_id", "text", terms_fn=simple_terms).cache()
+                              "doc_id", "text",
+                              terms_fn=simple_terms).localCheckpoint(eager=True)
     out = None
     for qid, phrase in PHRASE_QUERIES.items():
         m = (phrase_match(pos, phrase, terms_fn=simple_terms)
              .select(F.lit(qid).alias("qid"), "doc_id",
                      F.col("n_matches").cast("long").alias("n_matches")))
         out = m if out is None else out.unionAll(m)
-    # materialize, then free the positional cache (the driver calls each
-    # entry repeatedly; a leaked cache would accumulate until eviction)
-    rows = out.collect()
-    schema = out.schema
-    pos.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +515,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "events_json": q_events_json,
     "prefix_terms": q_prefix_terms,
+    "fuzzy_terms": q_fuzzy_terms,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "simhash": q_simhash,

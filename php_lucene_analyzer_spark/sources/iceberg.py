@@ -20,7 +20,19 @@ Mapping of the directory protocol onto Iceberg:
 * resume              -> read lineage, skip chunks present; a chunk row
                          without a reachable snapshot cannot exist
                          (lineage append happens after the postings
-                         commit and references it);
+                         commit and references it).  The CONVERSE hazard
+                         — a crash in the window between the postings
+                         append and its lineage append leaves a
+                         committed snapshot with no lineage row, and a
+                         naive resume would re-index that chunk and
+                         append DUPLICATE posting blocks (inflated
+                         df/tf/WAND scores) — is closed by
+                         ``_reconcile_orphans``: before indexing, run()
+                         rolls the postings table back to the newest
+                         snapshot lineage records (metadata-only
+                         ``rollback_to_snapshot``; with no lineage rows
+                         at all, any existing postings are orphans and
+                         are deleted);
 * snapshot-scoped read-> ``spark.read.option("snapshot-id", ...)`` pins
                          queries to one immutable snapshot while new
                          chunks land (readers never see half a build).
@@ -121,9 +133,40 @@ class IcebergResumableIndexBuild:
         return {r["chunk"] for r in
                 self.spark.table(self.lineage_tbl).select("chunk").collect()}
 
+    def _reconcile_orphans(self) -> None:
+        """Make resume idempotent across the append/lineage crash window:
+        roll the postings table back to the last snapshot_id lineage
+        records (a crash AFTER the postings commit but BEFORE its lineage
+        row leaves an orphan snapshot whose chunk would otherwise be
+        re-indexed and double-appended).  Metadata-only when nothing is
+        orphaned; with an existing postings table but NO lineage rows,
+        every posting row is an orphan of crashed chunk 0 -> delete all."""
+        if not table_exists(self.spark, self.postings_tbl):
+            return
+        lineage_rows = []
+        if table_exists(self.spark, self.lineage_tbl):
+            lineage_rows = (self.spark.table(self.lineage_tbl)
+                            .select("snapshot_id", "finished_at").collect())
+        if not lineage_rows:
+            self.spark.sql(f"DELETE FROM {self.postings_tbl} WHERE true")
+            return
+        last_sid = max(lineage_rows,
+                       key=lambda r: r["finished_at"])["snapshot_id"]
+        if current_snapshot_id(self.spark, self.postings_tbl) != last_sid:
+            catalog, tbl = self.postings_tbl.split(".", 1)
+            self.spark.sql(
+                f"CALL {catalog}.system.rollback_to_snapshot"
+                f"('{tbl}', {int(last_sid)})")
+
     def run(self, docs: DataFrame, order_cols: list[str],
-            fail_after_chunks: int | None = None) -> DataFrame:
+            fail_after_chunks: int | None = None,
+            fail_between_appends: int | None = None) -> DataFrame:
+        """``fail_after_chunks`` / ``fail_between_appends``: test-only
+        crash injection — after N full chunk commits, or BETWEEN the Nth
+        chunk's postings append and its lineage append (the orphan
+        window _reconcile_orphans closes)."""
         from ..operators.postings import index_corpus
+        self._reconcile_orphans()
         ids = self.ensure_ids(docs, order_cols)
         max_id = ids.agg(F.max("doc_id")).collect()[0][0]
         if max_id is None:
@@ -145,6 +188,10 @@ class IcebergResumableIndexBuild:
             append_or_create(
                 index_corpus(part, "doc_id", self.text_col,
                              rbucket_base=chunk << 20), self.postings_tbl)
+            if fail_between_appends is not None \
+                    and ran + 1 >= fail_between_appends:
+                raise RuntimeError(
+                    f"injected crash between appends (chunk {chunk})")
             sid = current_snapshot_id(self.spark, self.postings_tbl)
             append_or_create(self.spark.createDataFrame(
                 [(chunk, lo, hi - 1, hi - lo, sid,

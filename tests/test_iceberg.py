@@ -58,3 +58,45 @@ def test_iceberg_resumable_build_roundtrip(spark):
         assert b.completed_chunks() == {0, 1, 2}
         assert full.count() > pinned  # later chunks invisible to the pin
         assert b.postings(snapshot_id=sid).count() == pinned
+
+
+@pytest.mark.skipif("not config.getoption('--run-iceberg', default=False)",
+                    reason="needs iceberg-spark-runtime on the classpath")
+def test_iceberg_resume_idempotent_across_orphan_window(spark):
+    """A crash BETWEEN the postings append and its lineage append leaves
+    an orphan snapshot; resume must roll it back and re-run the chunk
+    exactly once (no duplicate posting blocks — duplicates would inflate
+    df/tf and WAND scores)."""
+    import tempfile as tf
+
+    from php_lucene_analyzer_spark.corpus import synthetic_corpus
+
+    assert iceberg_available(spark)
+    with tf.TemporaryDirectory() as wh:
+        ensure_hadoop_catalog(spark, "plas2", wh)
+        docs = synthetic_corpus(spark, 120, partitions=2)
+        b = IcebergResumableIndexBuild(spark, "plas2", "db", chunk_docs=50)
+        # crash in the orphan window of chunk 1 (chunk 0 commits fully)
+        with pytest.raises(RuntimeError, match="between appends"):
+            b.run(docs, ["repo", "path"], fail_between_appends=2)
+        assert b.completed_chunks() == {0}
+        orphaned = b.postings().count()  # chunk 1's orphan rows visible
+        full = b.run(docs, ["repo", "path"]).collect()
+        assert b.completed_chunks() == {0, 1, 2}
+        # every (term, rbucket, block_no) key appears exactly once
+        from collections import Counter
+        keys = Counter((r["term"], r["rbucket"], r["block_no"])
+                       for r in full)
+        assert keys and max(keys.values()) == 1, \
+            "duplicate posting blocks after orphan-window resume"
+        assert len(keys) >= orphaned - 50  # sanity: index is complete
+
+        # crash in chunk 0's window (no lineage at all) -> delete-all path
+        b2 = IcebergResumableIndexBuild(spark, "plas2", "db0",
+                                        chunk_docs=200)
+        with pytest.raises(RuntimeError, match="between appends"):
+            b2.run(docs, ["repo", "path"], fail_between_appends=1)
+        full2 = b2.run(docs, ["repo", "path"]).collect()
+        keys2 = Counter((r["term"], r["rbucket"], r["block_no"])
+                        for r in full2)
+        assert keys2 and max(keys2.values()) == 1
