@@ -19,12 +19,12 @@ print(json.dumps({"sec_per_3000_docs": round(time.time()-t0, 3), "tokens": n}))
 PY
 }
 echo "chain_control_pre: $(chain_control)"
-echo "agg_control_pre: $(python BENCH/cpu_control.py)"
+echo "agg_control_pre: $(python BENCH/cpu_control.py 1200)"
 SCALING_OUT=scaling_200k_r3.json python BENCH/scaling.py 200000 ${REPS_200K:-2} 2>&1 | tail -4
-echo "agg_control_mid: $(python BENCH/cpu_control.py)"
+echo "agg_control_mid: $(python BENCH/cpu_control.py 1200)"
 if [ "${RUN_1M:-0}" = "1" ]; then
   SCALING_OUT=scaling_1m_r3.json python BENCH/scaling.py 1000000 1 2>&1 | tail -4
-  echo "agg_control_post: $(python BENCH/cpu_control.py)"
+  echo "agg_control_post: $(python BENCH/cpu_control.py 1200)"
 fi
 echo "chain_control_post: $(chain_control)"
 echo QUIET_RUN_DONE
