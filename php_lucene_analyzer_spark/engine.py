@@ -29,7 +29,7 @@ from .operators import fulltext as ft
 from .operators.positional import phrase_match, positional_postings
 from .operators.postings import (corpus_stats_from_postings, index_corpus,
                                  term_stats_from_postings, write_postings)
-from .operators.wand import wand_topk_many, wand_topk_terms
+from .operators.wand import prefix_topk, wand_topk_many, wand_topk_terms
 
 
 class FulltextIndex:
@@ -101,6 +101,14 @@ class FulltextIndex:
                     else None)
         return wand_topk_many(self.postings, self.tstats, self.n_docs,
                               self.avgdl, queries, k, terms_fn=terms_fn)
+
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expansions: int = 64) -> DataFrame:
+        """Wildcard `p*` query (the automaton package's PrefixQuery role):
+        range scan on the sorted term dictionary, bounded df-descending
+        expansion (Lucene's top-terms rewrite), WAND over the union."""
+        return prefix_topk(self.postings, self.tstats, self.n_docs,
+                           self.avgdl, prefix, k, max_expansions)
 
     def search_fuzzy(self, query: str, k: int = 10, max_edits: int = 2,
                      prefix_len: int = 0) -> DataFrame:

@@ -60,6 +60,23 @@ def test_phrase_and_save_load(spark, idx, tmp_path):
         == {(r["doc_id"], r["n_matches"]) for r in ph}
 
 
+def test_search_prefix_matches_operator(spark, idx):
+    """Engine prefix search == the prefix_topk operator directly."""
+    import pyspark.sql.functions as F
+
+    from php_lucene_analyzer_spark.operators.wand import prefix_topk
+
+    _, index = idx
+    some_term = index.tstats.orderBy(F.desc("df")).first()["term"]
+    pre = some_term[:2]
+    got = [(r["doc_id"], r["score"]) for r in
+           index.search_prefix(pre, k=5).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            prefix_topk(index.postings, index.tstats, index.n_docs,
+                        index.avgdl, pre, 5).collect()]
+    assert got == want and got
+
+
 def test_fuzzy_expand_and_search(spark, idx):
     """fuzzy_expand finds the edit-distance neighborhood (the automaton
     package's FuzzyQuery role) and search_fuzzy == WAND over the
