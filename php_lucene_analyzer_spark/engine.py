@@ -133,6 +133,29 @@ class FulltextIndex:
         return wand_topk_terms(self.postings, self.tstats, self.n_docs,
                                self.avgdl, sorted(expanded), k)
 
+    def search_boolean(self, must: list[str] | None = None,
+                       should: list[str] | None = None,
+                       must_not: list[str] | None = None, msm: int = 0,
+                       k: int = 10) -> DataFrame:
+        """Lucene BooleanQuery semantics over the index
+        (operators/boolean.py::boolean_topk): every ``must`` string's
+        analyzed terms all match, at least ``msm`` of the ``should``
+        terms match (pure-SHOULD queries require one), no ``must_not``
+        term matches; BM25-scored over the matched must+should set.
+
+        Divergence note: a must string whose analysis produces a token
+        GRAPH (e.g. WDGF camelCase expansion ``parseSplit`` ->
+        [parsesplit, pars, split]) collapses to the conjunction of ALL
+        emitted terms — Lucene would build a synonym/graph query
+        (original OR adjacent-parts).  Indexed docs containing the
+        literal word carry every expansion term, so results agree
+        whenever the word occurs as written."""
+        from .operators.boolean import boolean_topk
+        expand = lambda qs: [t for q in (qs or []) for t in self._terms(q)]
+        return boolean_topk(self.postings, self.tstats, self.n_docs,
+                            self.avgdl, expand(must), expand(should),
+                            expand(must_not), msm, k)
+
     def phrase(self, phrase: str) -> DataFrame:
         """Exact-phrase docs -> (doc_id, n_matches); needs
         ``build(..., positional=True)`` or a loaded positional dir."""

@@ -10,9 +10,9 @@ regexp_replace needs the 'g' flag (Spark replaces all by default).
 from __future__ import annotations
 
 from .analysis.filters import ENGLISH_STOP_WORDS
-from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, DECONTAM_BENCH,
-                      DECONTAM_N, FUZZY_QUERIES, LSH_BANDS, LSH_MIN_JACCARD,
-                      LSH_N_HASHES, PHRASE_QUERIES)
+from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, BOOL_QUERIES,
+                      DECONTAM_BENCH, DECONTAM_N, FUZZY_QUERIES, LSH_BANDS,
+                      LSH_MIN_JACCARD, LSH_N_HASHES, PHRASE_QUERIES)
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
@@ -326,6 +326,51 @@ ORACLES["fuzzy_terms"] = f"""
 WITH {_TOK}, {_TF},
 ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 {_FUZZY_ARMS}
+"""
+
+_BOOL_CLAUSES = ", ".join(
+    f"('{qid}', '{t}', '{role}')"
+    for qid, c in BOOL_QUERIES.items()
+    for role, ts in (("m", c["must"]), ("s", c["should"]),
+                     ("n", c["must_not"]))
+    for t in ts)
+_BOOL_REQS = ", ".join(
+    f"('{qid}', {len(c['must'])}, "
+    f"{c['msm'] if c['must'] else max(c['msm'], 1)})"
+    for qid, c in BOOL_QUERIES.items())
+
+ORACLES["boolean"] = f"""
+WITH {_TOK}, {_TF},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+cl(qid, term, role) AS (VALUES {_BOOL_CLAUSES}),
+req(qid, n_must, msm) AS (VALUES {_BOOL_REQS}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM cl WHERE role <> 'n') GROUP BY 1),
+per AS (
+  SELECT cl.qid, tf.doc_id,
+         round(sum(CASE WHEN cl.role = 'n' THEN 0
+                   ELSE ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / stats.avgdl))
+                   END), 4) AS score,
+         count(DISTINCT CASE WHEN cl.role = 'm' THEN cl.term END)::BIGINT
+           AS must_hit,
+         count(DISTINCT CASE WHEN cl.role = 's' THEN cl.term END)::BIGINT
+           AS should_hit,
+         max(CASE WHEN cl.role = 'n' THEN 1 ELSE 0 END) AS not_hit
+  FROM cl JOIN tf USING (term)
+       LEFT JOIN dfq USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2)
+SELECT qid, rank, doc_id, score FROM (
+  SELECT per.qid, doc_id, score,
+         row_number() OVER (PARTITION BY per.qid
+                            ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM per JOIN req ON per.qid = req.qid
+  WHERE must_hit = n_must AND should_hit >= msm AND not_hit = 0)
+WHERE rank <= 10
 """
 
 ORACLES["quality_score"] = f"""

@@ -52,6 +52,21 @@ PHRASE_QUERIES = {
 DECONTAM_N = 13
 DECONTAM_BENCH = 100
 
+# boolean contract set (Lucene BooleanQuery roles: MUST all match,
+# SHOULD >= msm match, MUST_NOT excludes; pure-SHOULD queries require
+# max(msm, 1)).  Terms from the documents vocabulary; clause sets kept
+# disjoint within a query so no term scores twice.
+BOOL_QUERIES = {
+    "b1": {"must": ["fast", "merge", "join"], "should": [],
+           "must_not": [], "msm": 0},
+    "b2": {"must": [], "should": ["window", "order", "sort", "table"],
+           "must_not": [], "msm": 3},
+    "b3": {"must": ["stream"], "should": ["batch", "spark"],
+           "must_not": ["slow"], "msm": 1},
+    "b4": {"must": ["customer"], "should": [], "must_not": ["dup"],
+           "msm": 0},
+}
+
 # fuzzy-term contract set: (query, max_edits) — misspellings of
 # documents-vocabulary terms (the automaton package's FuzzyQuery role)
 FUZZY_QUERIES = {
@@ -165,6 +180,73 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.round(F.sum("contrib"), 4).alias("score")))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "rank", "doc_id", "score"))
+
+
+def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval top-10 per fixed query (BOOL_QUERIES) — Lucene
+    BooleanQuery semantics on the relational path (the engine-index twin
+    is operators/boolean.py::boolean_topk):
+
+      must_hit == n_must AND should_hit >= msm AND no must_not term,
+      score = BM25 sum over matched must+should clauses (must_not never
+      scores).
+
+    Scale shape, same as q_bm25_topk: dl rides with each tf row; the
+    clause table and per-query requirements broadcast; the only corpus
+    shuffle is the tf groupBy.  Clause algebra is one aggregate over the
+    clause-joined tf rows — count(DISTINCT term) per role — not a join
+    per clause."""
+    base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    tf = (base.select("doc_id",
+                      F.size("toks").cast("long").alias("dl"),
+                      F.explode("toks").alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    stats = (base.select(F.size("toks").cast("long").alias("dl"))
+             .filter(F.col("dl") > 0)
+             .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
+    clauses = spark.createDataFrame(
+        [(qid, t, role)
+         for qid, c in BOOL_QUERIES.items()
+         for role, ts in (("m", c["must"]), ("s", c["should"]),
+                          ("n", c["must_not"]))
+         for t in ts],
+        "qid string, term string, role string")
+    reqs = spark.createDataFrame(
+        [(qid, len(c["must"]),
+          c["msm"] if c["must"] else max(c["msm"], 1))
+         for qid, c in BOOL_QUERIES.items()],
+        "qid string, n_must long, msm long")
+    dfq = (tf.join(F.broadcast(clauses.filter(F.col("role") != "n")
+                               .select("term").distinct()), "term")
+           .groupBy("term").agg(F.count("*").alias("df")))
+    contrib = (F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5))
+               * F.col("tf") * F.lit(K1 + 1.0)
+               / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
+                                      / F.col("avgdl"))))
+    per_doc = (tf.join(F.broadcast(clauses), "term")
+               .join(F.broadcast(dfq), "term", "left")
+               .crossJoin(F.broadcast(stats))
+               .groupBy("qid", "doc_id")
+               .agg(F.round(F.sum(F.when(F.col("role") != "n", contrib)
+                                  .otherwise(F.lit(0.0))), 4).alias("score"),
+                    F.countDistinct(
+                        F.when(F.col("role") == "m", F.col("term")))
+                    .alias("must_hit"),
+                    F.countDistinct(
+                        F.when(F.col("role") == "s", F.col("term")))
+                    .alias("should_hit"),
+                    F.max(F.when(F.col("role") == "n", F.lit(1))
+                          .otherwise(F.lit(0))).alias("not_hit")))
+    kept = (per_doc.join(F.broadcast(reqs), "qid")
+            .filter((F.col("must_hit") == F.col("n_must"))
+                    & (F.col("should_hit") >= F.col("msm"))
+                    & (F.col("not_hit") == 0)))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (kept.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= 10)
             .select("qid", "rank", "doc_id", "score"))
 
@@ -516,6 +598,7 @@ QUERIES = {
     "events_json": q_events_json,
     "prefix_terms": q_prefix_terms,
     "fuzzy_terms": q_fuzzy_terms,
+    "boolean": q_boolean,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "simhash": q_simhash,
