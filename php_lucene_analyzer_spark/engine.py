@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .analysis import analyze
@@ -29,7 +30,8 @@ from .operators import fulltext as ft
 from .operators.positional import phrase_match, positional_postings
 from .operators.postings import (corpus_stats_from_postings, index_corpus,
                                  term_stats_from_postings, write_postings)
-from .operators.wand import prefix_topk, wand_topk_many, wand_topk_terms
+from .operators.wand import (_filter_terms, prefix_topk, wand_topk_many,
+                             wand_topk_terms)
 
 
 class FulltextIndex:
@@ -155,6 +157,56 @@ class FulltextIndex:
         return boolean_topk(self.postings, self.tstats, self.n_docs,
                             self.avgdl, expand(must), expand(should),
                             expand(must_not), msm, k)
+
+    def more_like_this(self, text: str, k: int = 10, max_terms: int = 25,
+                       exclude_doc: int | None = None) -> DataFrame:
+        """Lucene MoreLikeThis role: analyze ``text`` driver-side, rank
+        its terms by tf·idf against the index's df table, seed a
+        disjunctive WAND query with the top ``max_terms``, optionally
+        excluding a source doc id.
+
+        Scale note: term selection happens on the driver from the query
+        TEXT (tf counted in Python over one document's tokens, df fetched
+        for just those terms) — the postings are never scanned to
+        reconstruct a document, which a term-major index cannot do
+        cheaply."""
+        from collections import Counter
+        # raw token stream, NOT _terms (which dedupes for query-term
+        # sets) — MLT ranks by tf·idf, so duplicates carry signal
+        if self.analyzer is not None:
+            cnt = Counter(self.analyzer.terms(text))
+        else:
+            cnt = Counter(t.term for t in analyze(text))
+        if not cnt:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        rows = (_filter_terms(self.tstats, sorted(cnt))
+                .select("term", "df").collect())
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        ranked = sorted(
+            ((t, cnt[t] * ft.idf(self.n_docs, dfs[t])) for t in dfs),
+            key=lambda x: (-x[1], x[0]))
+        seed = sorted(t for t, _ in ranked[:max_terms])
+        out = wand_topk_terms(
+            self.postings, self.tstats, self.n_docs, self.avgdl, seed,
+            k + (1 if exclude_doc is not None else 0))
+        if exclude_doc is not None:
+            out = (out.filter(F.col("doc_id") != exclude_doc)
+                   .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        return out
+
+    def highlight_anchors(self, query: str) -> DataFrame:
+        """(doc_id, first_pos): earliest position of any analyzed query
+        term per matching doc (operators/positional.py::first_match) —
+        the highlighter anchor.  Requires ``build(..., positional=True)``
+        or a loaded positional dir.  Positions are the chain's GRAPH
+        positions; snippet text needs char offsets, which the positional
+        codec doesn't store — the contract query `highlight` slices
+        token arrays under the simplified tokenization instead."""
+        from .operators.positional import first_match
+        if self.positional is None:
+            raise ValueError("highlight_anchors needs a positional index "
+                             "(build(..., positional=True))")
+        return first_match(self.positional, self._terms(query))
 
     def phrase(self, phrase: str) -> DataFrame:
         """Exact-phrase docs -> (doc_id, n_matches); needs

@@ -287,3 +287,50 @@ def phrase_match(pos_postings: DataFrame, phrase: str,
             .applyInPandas(lambda pdf: bucket(pdf),
                            schema="doc_id long, n_matches int")
             .orderBy("doc_id"))
+
+
+def first_match(pos_postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Earliest position of ANY of ``terms`` per matching doc ->
+    (doc_id, first_pos) — the highlighter's anchor (Lucene's highlight
+    package finds the first scoring passage; this engine stores
+    positions, not char offsets, so the anchor is a token position and
+    the snippet is sliced from the token array relationally — see
+    engine/queries highlight paths).
+
+    Per rbucket: decode only the query terms' blocks; a doc's first
+    position per term is the first entry of its position run (positions
+    are ascending by construction), min-reduced across terms with one
+    groupby — no per-doc Python loops over position lists."""
+    spark = pos_postings.sparkSession
+    uterms = sorted(set(terms))
+    if not uterms:
+        return spark.createDataFrame([], "doc_id long, first_pos long")
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        all_docs, all_firsts = [], []
+        for db, fb, pb in zip(pdf["doc_blob"], pdf["freq_blob"],
+                              pdf["pos_blob"]):
+            docs = np.cumsum(vbyte_decode(db),
+                             dtype=np.uint64).astype(np.int64)
+            freqs = vbyte_decode(fb).astype(np.int64)
+            gaps = vbyte_decode(pb)
+            starts = np.concatenate(
+                ([0], np.cumsum(freqs)))[:-1].astype(np.int64)
+            cs = np.cumsum(gaps, dtype=np.uint64)
+            carry = np.zeros(len(starts), dtype=np.uint64)
+            carry[1:] = cs[starts[1:] - 1]
+            # first position of each doc = absolute position at its
+            # run start (runs are ascending; no split needed)
+            firsts = (cs[starts] - carry).astype(np.int64)
+            all_docs.append(docs)
+            all_firsts.append(firsts)
+        if not all_docs:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "first_pos": pd.Series(dtype="int64")})
+        return (pd.DataFrame({"doc_id": np.concatenate(all_docs),
+                              "first_pos": np.concatenate(all_firsts)})
+                .groupby("doc_id", as_index=False)["first_pos"].min())
+
+    matched = pos_postings.filter(F.col("term").isin(uterms))
+    return matched.groupBy("rbucket").applyInPandas(
+        bucket, schema="doc_id long, first_pos long")

@@ -12,7 +12,9 @@ from __future__ import annotations
 from .analysis.filters import ENGLISH_STOP_WORDS
 from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, BOOL_QUERIES,
                       DECONTAM_BENCH, DECONTAM_N, FUZZY_QUERIES, LSH_BANDS,
-                      LSH_MIN_JACCARD, LSH_N_HASHES, PHRASE_QUERIES)
+                      LSH_MIN_JACCARD, LSH_N_HASHES, HIGHLIGHT_QUERIES,
+                      HIGHLIGHT_WINDOW, MLT_DOCS, MLT_K, MLT_MAX_TERMS,
+                      PHRASE_QUERIES)
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
@@ -326,6 +328,93 @@ ORACLES["fuzzy_terms"] = f"""
 WITH {_TOK}, {_TF},
 ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 {_FUZZY_ARMS}
+"""
+
+_HL_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in HIGHLIGHT_QUERIES.items() for t in ts)
+
+ORACLES["highlight"] = f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+hq(qid, term) AS (VALUES {_HL_VALUES}),
+anchors AS (
+  SELECT hq.qid, dt.doc_id, dt.toks,
+         min(nullif(list_position(dt.toks, hq.term), 0)) AS min_pos
+  FROM hq CROSS JOIN dt
+  GROUP BY 1, 2, 3)
+SELECT qid, doc_id, (min_pos - 1)::BIGINT AS first_pos,
+       array_to_string(
+         toks[greatest(min_pos - {HIGHLIGHT_WINDOW}, 1)
+              : least(min_pos + {HIGHLIGHT_WINDOW}, len(toks))],
+         ' ') AS snippet
+FROM anchors WHERE min_pos IS NOT NULL
+"""
+
+_MLT_DOCS_SQL = ", ".join(str(d) for d in MLT_DOCS)
+
+ORACLES["mlt"] = f"""
+WITH {_TOK}, {_TF},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+src AS (SELECT doc_id AS src_doc, term, tf FROM tf
+        WHERE doc_id IN ({_MLT_DOCS_SQL})),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM src) GROUP BY 1),
+seed AS (
+  SELECT src_doc, term FROM (
+    SELECT src.src_doc, src.term,
+           round(src.tf * round(ln(1.0 + (stats.n - dfs.df + 0.5)
+                                   / (dfs.df + 0.5)), 4), 4) AS tscore,
+           row_number() OVER (
+             PARTITION BY src.src_doc
+             ORDER BY round(src.tf * round(ln(1.0 + (stats.n - dfs.df + 0.5)
+                                          / (dfs.df + 0.5)), 4), 4) DESC,
+                      src.term) AS r
+    FROM src JOIN dfs USING (term), stats)
+  WHERE r <= {MLT_MAX_TERMS}),
+scores AS (
+  SELECT seed.src_doc, tf.doc_id,
+         round(sum(ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl))),
+               4) AS score
+  FROM seed JOIN tf USING (term)
+       JOIN dfs USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id, stats
+  WHERE tf.doc_id <> seed.src_doc
+  GROUP BY 1, 2)
+SELECT src_doc, rank, doc_id, score FROM (
+  SELECT src_doc, doc_id, score,
+         row_number() OVER (PARTITION BY src_doc
+                            ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM scores) WHERE rank <= {MLT_K}
+"""
+
+ORACLES["facet_source"] = f"""
+WITH {_TOK}, {_TF},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+q(qid, term) AS (VALUES {_QVALUES}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+per_doc AS (
+  SELECT q.qid, tf.doc_id,
+         round(sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl))),
+               4) AS score
+  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2)
+SELECT per_doc.qid, d.source, count(*)::BIGINT AS n_docs,
+       max(per_doc.score) AS max_score
+FROM per_doc JOIN documents d ON per_doc.doc_id = d.doc_id
+GROUP BY 1, 2
 """
 
 _BOOL_CLAUSES = ", ".join(

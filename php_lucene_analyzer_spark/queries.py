@@ -47,6 +47,14 @@ PHRASE_QUERIES = {
     "p3": "the spark stream",
 }
 
+# highlight contract set: query terms (any-of) + snippet half-window
+HIGHLIGHT_QUERIES = {
+    "h1": ["merge", "join"],
+    "h2": ["stream"],
+    "h3": ["customer", "value"],
+}
+HIGHLIGHT_WINDOW = 3
+
 # decontamination contract: docs sharing a 13-gram (the published LLM-
 # pipeline default) with the "benchmark" slice doc_id < DECONTAM_BENCH
 DECONTAM_N = 13
@@ -66,6 +74,12 @@ BOOL_QUERIES = {
     "b4": {"must": ["customer"], "should": [], "must_not": ["dup"],
            "msm": 0},
 }
+
+# more-like-this contract set: source doc ids whose top tf·idf terms
+# seed a similarity query (Lucene MoreLikeThis role)
+MLT_DOCS = [7, 42, 123]
+MLT_MAX_TERMS = 5
+MLT_K = 10
 
 # fuzzy-term contract set: (query, max_edits) — misspellings of
 # documents-vocabulary terms (the automaton package's FuzzyQuery role)
@@ -182,6 +196,100 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= 10)
             .select("qid", "rank", "doc_id", "score"))
+
+
+def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (Lucene MoreLikeThis role): for each source doc in
+    MLT_DOCS, select its top MLT_MAX_TERMS terms by tf·idf (idf rounded
+    to 4dp before ranking so a 1-ulp JVM/DuckDB libm divergence cannot
+    flip the selection; tie-break term asc), then BM25 top-MLT_K over
+    the corpus with those terms, the source doc excluded.
+
+    Scale shape: the source docs' tf rows are a broadcast-sized slice
+    (isin pushed to the scan); term selection is a tiny window over that
+    slice; candidate scoring reuses the q_bm25_topk shape (dl rides with
+    tf; only selected-term rows shuffle)."""
+    base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    tf = (base.select("doc_id",
+                      F.size("toks").cast("long").alias("dl"),
+                      F.explode("toks").alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    stats = (base.select(F.size("toks").cast("long").alias("dl"))
+             .filter(F.col("dl") > 0)
+             .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
+    src_tf = (tf.filter(F.col("doc_id").isin(MLT_DOCS))
+              .select(F.col("doc_id").alias("src_doc"), "term", "tf"))
+    dfs = (tf.join(F.broadcast(src_tf.select("term").distinct()), "term")
+           .groupBy("term").agg(F.count("*").alias("df")))
+    idf_c = F.round(
+        F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)), 4)
+    wsel = Window.partitionBy("src_doc").orderBy(
+        F.desc("tscore"), F.asc("term"))
+    seed = (src_tf.join(F.broadcast(dfs), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("tscore", F.round(F.col("tf") * idf_c, 4))
+            .withColumn("_r", F.row_number().over(wsel))
+            .filter(F.col("_r") <= MLT_MAX_TERMS)
+            .select("src_doc", "term"))
+    scored = (tf.join(F.broadcast(seed), "term")
+              .join(F.broadcast(dfs), "term")
+              .crossJoin(F.broadcast(stats))
+              .filter(F.col("doc_id") != F.col("src_doc"))
+              .withColumn(
+                  "contrib",
+                  F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5))
+                  * F.col("tf") * F.lit(K1 + 1.0)
+                  / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
+                                         / F.col("avgdl"))))
+              .groupBy("src_doc", "doc_id")
+              .agg(F.round(F.sum("contrib"), 4).alias("score")))
+    w = Window.partitionBy("src_doc").orderBy(F.desc("score"),
+                                              F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= MLT_K)
+            .select("src_doc", "rank", "doc_id", "score"))
+
+
+def q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result faceting: for each BM25 query, the full disjunctive
+    match set (any query term present) grouped by the documents' `source`
+    dimension — (qid, source, n_docs, max_score).  The facet join is a
+    broadcast of the dimension columns' slice; the match set never
+    collects."""
+    base = _docs(spark, sf_dir).select("doc_id", "source",
+                                       _tokens_col().alias("toks"))
+    tf = (base.select("doc_id",
+                      F.size("toks").cast("long").alias("dl"),
+                      F.explode("toks").alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    stats = (base.select(F.size("toks").cast("long").alias("dl"))
+             .filter(F.col("dl") > 0)
+             .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
+        "qid string, term string")
+    dfq = (tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+           .groupBy("term").agg(F.count("*").alias("df")))
+    per_doc = (tf.join(F.broadcast(qterms), "term")
+               .join(F.broadcast(dfq), "term")
+               .crossJoin(F.broadcast(stats))
+               .withColumn(
+                   "contrib",
+                   F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5))
+                   * F.col("tf") * F.lit(K1 + 1.0)
+                   / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
+                                          / F.col("avgdl"))))
+               .groupBy("qid", "doc_id")
+               .agg(F.round(F.sum("contrib"), 4).alias("score")))
+    return (per_doc.join(base.select("doc_id", "source"), "doc_id")
+            .groupBy("qid", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("score").alias("max_score")))
 
 
 def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,6 +664,47 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting (the Lucene highlighter package's role): anchor =
+    earliest position of any query term from the REAL positional index
+    (operators/positional.py::first_match, token-index positions under
+    the simplified tokenization), snippet = ±HIGHLIGHT_WINDOW tokens
+    sliced relationally from the token array (this engine stores
+    positions, not char offsets — snippet assembly is a broadcast-side
+    join + F.slice, never a text re-scan per match).
+
+    -> (qid, doc_id, first_pos, snippet); first_pos is 0-based."""
+    import re
+
+    from .operators.positional import first_match, positional_postings
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text: str) -> list[str]:
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    docs = _docs(spark, sf_dir)
+    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text",
+                              terms_fn=simple_terms).localCheckpoint(eager=True)
+    toks = docs.select("doc_id", _tokens_col().alias("toks"))
+    out = None
+    for qid, terms in HIGHLIGHT_QUERIES.items():
+        fm = first_match(pos, terms)
+        start = F.greatest(F.col("first_pos") + 1 - HIGHLIGHT_WINDOW,
+                           F.lit(1))
+        end = F.least(F.col("first_pos") + 1 + HIGHLIGHT_WINDOW,
+                      F.size("toks"))
+        m = (fm.join(toks, "doc_id")
+             .select(F.lit(qid).alias("qid"), "doc_id",
+                     F.col("first_pos").cast("long").alias("first_pos"),
+                     F.array_join(
+                         F.slice("toks", start, end - start + 1),
+                         " ").alias("snippet")))
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row content sha256 (the input_hint invariant surfaced as a
     value-matched contract query; the build-time audit is
@@ -599,6 +748,9 @@ QUERIES = {
     "prefix_terms": q_prefix_terms,
     "fuzzy_terms": q_fuzzy_terms,
     "boolean": q_boolean,
+    "mlt": q_mlt,
+    "facet_source": q_facet_source,
+    "highlight": q_highlight,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "simhash": q_simhash,
