@@ -194,6 +194,46 @@ class FulltextIndex:
                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         return out
 
+    def suggest(self, word: str, max_edits: int = 2, k: int = 5,
+                prefix_len: int = 1) -> DataFrame:
+        """Did-you-mean candidates for a (possibly misspelled) word ->
+        (term, df, dist), DirectSpellChecker ranking (dist asc, df desc,
+        term asc) over the term dictionary
+        (operators/fulltext.py::suggest_terms).  The word is analyzed
+        first so suggestions live in the index's stemmed vocabulary; an
+        all-stopword/empty word returns no rows."""
+        from .operators.fulltext import suggest_terms
+        terms = self._terms(word)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "term string, df long, dist long")
+        return suggest_terms(self.tstats, terms[0], max_edits, k,
+                             prefix_len)
+
+    def search_regex(self, pattern: str, k: int = 10,
+                     max_expansions: int = 64) -> DataFrame:
+        """RegexpQuery role: match the term dictionary with Spark's
+        native ``rlike`` (the automaton package's regex runner maps to
+        the JVM regex engine — SURVEY A19), expand df-descending like
+        Lucene's top-terms rewrite (bounded), WAND the union."""
+        terms = [r["term"] for r in
+                 (self.tstats.filter(F.col("term").rlike(pattern))
+                  .orderBy(F.desc("df"), F.asc("term"))
+                  .limit(max_expansions).collect())]
+        return wand_topk_terms(self.postings, self.tstats, self.n_docs,
+                               self.avgdl, sorted(terms), k)
+
+    def stats(self) -> dict:
+        """Index statistics (Lucene IndexReader counters): n_docs,
+        avgdl, n_terms, n_blocks, has_positional."""
+        return {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "n_terms": self.tstats.count(),
+            "n_blocks": self.postings.count(),
+            "has_positional": self.positional is not None,
+        }
+
     def highlight_anchors(self, query: str) -> DataFrame:
         """(doc_id, first_pos): earliest position of any analyzed query
         term per matching doc (operators/positional.py::first_match) —

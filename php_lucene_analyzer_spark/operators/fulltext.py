@@ -249,6 +249,20 @@ def fuzzy_expand(tstats: DataFrame, query_term: str, max_edits: int = 2,
             .select("term", "df", "dist"))
 
 
+def suggest_terms(tstats: DataFrame, term: str, max_edits: int = 2,
+                  k: int = 5, prefix_len: int = 1) -> DataFrame:
+    """Spell-correction candidates (Lucene DirectSpellChecker role) ->
+    (term, df, dist), ranked the way DirectSpellChecker does: smaller
+    edit distance first, then higher df (a more frequent word is the
+    likelier intended one), term asc as the deterministic tie-break.
+    ``prefix_len`` defaults to 1 — DirectSpellChecker's default; typos
+    rarely break the first letter and the shared-prefix predicate is
+    scan-prunable on the sorted dictionary."""
+    return (fuzzy_expand(tstats, term, max_edits, prefix_len)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(k))
+
+
 def idf(n_docs: int, df: int) -> float:
     """Lucene BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
 

@@ -14,7 +14,7 @@ from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, BOOL_QUERIES,
                       DECONTAM_BENCH, DECONTAM_N, FUZZY_QUERIES, LSH_BANDS,
                       LSH_MIN_JACCARD, LSH_N_HASHES, HIGHLIGHT_QUERIES,
                       HIGHLIGHT_WINDOW, MLT_DOCS, MLT_K, MLT_MAX_TERMS,
-                      PHRASE_QUERIES)
+                      PHRASE_QUERIES, SUGGEST_K, SUGGEST_QUERIES)
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
@@ -328,6 +328,23 @@ ORACLES["fuzzy_terms"] = f"""
 WITH {_TOK}, {_TF},
 ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 {_FUZZY_ARMS}
+"""
+
+_SUGGEST_ARMS = " UNION ALL ".join(
+    f"""
+  SELECT * FROM (
+    SELECT '{qid}' AS qid, term, df,
+           levenshtein(term, '{q}')::BIGINT AS dist
+    FROM ts WHERE length(term) BETWEEN {len(q) - 2} AND {len(q) + 2}
+      AND term LIKE '{q[0]}%'
+      AND levenshtein(term, '{q}') <= 2
+    ORDER BY dist ASC, df DESC, term ASC LIMIT {SUGGEST_K})"""
+    for qid, q in SUGGEST_QUERIES.items())
+
+ORACLES["suggest"] = f"""
+WITH {_TOK}, {_TF},
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+{_SUGGEST_ARMS}
 """
 
 _HL_VALUES = ", ".join(

@@ -83,6 +83,14 @@ MLT_K = 10
 
 # fuzzy-term contract set: (query, max_edits) — misspellings of
 # documents-vocabulary terms (the automaton package's FuzzyQuery role)
+# spell-suggest contract set: misspellings; DirectSpellChecker ranking
+SUGGEST_QUERIES = {
+    "s1": "vlaue",
+    "s2": "stram",
+    "s3": "custoner",
+}
+SUGGEST_K = 3
+
 FUZZY_QUERIES = {
     "fz1": ("merge", 1),
     "fz2": ("stream", 2),
@@ -561,6 +569,22 @@ def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-correction suggestions (Lucene DirectSpellChecker role,
+    operators/fulltext.py::suggest_terms): per misspelled word, the top
+    SUGGEST_K dictionary terms by (edit distance asc, df desc, term asc)
+    within 2 edits and a shared first letter."""
+    from .operators.fulltext import suggest_terms
+    ts = q_term_stats(spark, sf_dir)
+    out = None
+    for qid, q in SUGGEST_QUERIES.items():
+        m = (suggest_terms(ts, q, max_edits=2, k=SUGGEST_K, prefix_len=1)
+             .select(F.lit(qid).alias("qid"), "term", "df",
+                     F.col("dist").cast("long").alias("dist")))
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (operators/textstats.py), JVM exprs."""
     from .operators.textstats import quality_score
@@ -751,6 +775,7 @@ QUERIES = {
     "mlt": q_mlt,
     "facet_source": q_facet_source,
     "highlight": q_highlight,
+    "suggest": q_suggest,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "simhash": q_simhash,

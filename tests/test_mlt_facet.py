@@ -84,6 +84,55 @@ def test_first_match_vs_bruteforce(spark, docs):
     assert got == want
 
 
+def test_suggest_matches_bruteforce(idx):
+    """suggest == (dist asc, df desc, term asc) over the dictionary."""
+    word = "stram"
+    got = [(r["term"], r["df"], r["dist"])
+           for r in idx.suggest(word, max_edits=2, k=4).collect()]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cand = [(r["term"], int(r["df"]), lev(r["term"], word))
+            for r in idx.tstats.collect()
+            if r["term"].startswith(word[0])
+            and abs(len(r["term"]) - len(word)) <= 2]
+    cand = [c for c in cand if c[2] <= 2]
+    cand.sort(key=lambda c: (c[2], -c[1], c[0]))
+    assert got == cand[:4]
+    assert idx.suggest("", k=3).count() == 0
+    assert idx.suggest("the", k=3).count() == 0  # stopword
+
+
+def test_search_regex_equals_prefix_expansion(idx):
+    """A '^p.*' regex == the prefix query over the same expansion."""
+    import pyspark.sql.functions as F
+    pref = idx.tstats.filter(F.col("term").startswith("s")) \
+        .count()
+    if pref == 0:
+        return
+    a = [(r["doc_id"], r["score"])
+         for r in idx.search_regex("^s.*", k=5, max_expansions=32).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in idx.search_prefix("s", k=5, max_expansions=32).collect()]
+    assert a == b
+
+
+def test_stats_counters(idx):
+    s = idx.stats()
+    assert s["n_docs"] > 0 and s["avgdl"] > 0
+    assert s["n_terms"] == idx.tstats.count()
+    assert s["n_blocks"] == idx.postings.count()
+    assert s["has_positional"] is False
+
+
 def test_first_match_empty_terms(spark, docs):
     from php_lucene_analyzer_spark.operators.positional import (
         first_match, positional_postings)
