@@ -223,6 +223,18 @@ class FulltextIndex:
         return wand_topk_terms(self.postings, self.tstats, self.n_docs,
                                self.avgdl, sorted(terms), k)
 
+    def compact(self) -> "FulltextIndex":
+        """Rewrite fragmented posting blocks into full-size ones
+        (operators/postings.py::compact_postings — Lucene's
+        TieredMergePolicy role; bit-identical query results).  Returns a
+        NEW index over the compacted, eagerly-materialized layout; the
+        original index is untouched (close() it to release its caches)."""
+        from .operators.postings import compact_postings
+        cp = compact_postings(self.postings).localCheckpoint(eager=True)
+        return FulltextIndex(self.spark, cp, term_stats_from_postings(cp),
+                             self.n_docs, self.avgdl, self.analyzer,
+                             self.positional)
+
     def stats(self) -> dict:
         """Index statistics (Lucene IndexReader counters): n_docs,
         avgdl, n_terms, n_blocks, has_positional."""

@@ -255,6 +255,76 @@ def build_postings(tdf: DataFrame, bucket_span: int = 1 << 20) -> DataFrame:
             .applyInPandas(build_group, schema=POSTINGS_SCHEMA))
 
 
+def compact_postings(postings: DataFrame,
+                     target_postings: int = FLUSH_POSTINGS) -> DataFrame:
+    """Segment compaction — Lucene's TieredMergePolicy role.
+
+    Chunked, resumed, streamed, or flush-bounded builds leave MANY small
+    doc-range buckets, each with fragmented (often 1-doc) blocks per
+    term: query-time block metadata scans and per-bucket kernel launches
+    grow with fragment count, not data size.  Compaction rewrites the
+    index into full-size blocks:
+
+    1. per-rbucket extent stats (one row per bucket — driver-tiny even
+       at 10^5 buckets) are collected and greedily packed, in doc-range
+       order, into groups of ~``target_postings`` postings.  Buckets are
+       doc-disjoint by construction, and packing only merges ADJACENT
+       ranges, so every group is again a contiguous, disjoint doc range
+       — the WAND/boolean bucket invariant survives;
+    2. one applyInPandas pass per group decodes each term's blocks
+       (first_doc order == global doc order), concatenates, and rebuilds
+       through the same ``_block_rows`` vectorized encoder the builders
+       use.
+
+    Results are BIT-IDENTICAL for every consumer (same postings, same
+    per-bucket evaluation; term_stats/corpus_stats are Σ-preserved);
+    only the physical block/bucket layout changes.  Shuffle cost: one
+    groupBy over the postings rows — no corpus re-scan, no re-tokenize.
+    """
+    spark = postings.sparkSession
+    stats = (postings.groupBy("rbucket")
+             .agg(F.min("first_doc").alias("lo"), F.sum("n").alias("np"))
+             .orderBy("lo").collect())
+    if not stats:
+        return postings
+    group_of: dict[int, int] = {}
+    gid, acc = 0, 0
+    for r in stats:
+        if acc and acc + int(r["np"]) > target_postings:
+            gid += 1
+            acc = 0
+        group_of[int(r["rbucket"])] = gid
+        acc += int(r["np"])
+    mapping = spark.createDataFrame(
+        [(rb, g) for rb, g in group_of.items()], "rbucket long, _gid long")
+
+    def compact_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.codec import delta_decode, vbyte_decode
+        gid_v = int(pdf["_gid"].iloc[0])
+        terms, offsets = [], [0]
+        d_parts, t_parts, l_parts = [], [], []
+        total = 0
+        for term, g in pdf.groupby("term", sort=True):
+            g = g.sort_values("first_doc")
+            for db, tb, lb in zip(g["doc_blob"], g["tf_blob"],
+                                  g["dl_blob"]):
+                d_parts.append(delta_decode(vbyte_decode(db))
+                               .astype(np.uint64))
+                t_parts.append(vbyte_decode(tb).astype(np.uint64))
+                l_parts.append(vbyte_decode(lb).astype(np.uint64))
+                total += d_parts[-1].size
+            terms.append(term)
+            offsets.append(total)
+        return _block_rows(terms, np.asarray(offsets, dtype=np.int64),
+                           np.concatenate(d_parts),
+                           np.concatenate(t_parts),
+                           np.concatenate(l_parts), gid_v)
+
+    return (postings.join(F.broadcast(mapping), "rbucket")
+            .groupBy("_gid")
+            .applyInPandas(compact_group, schema=POSTINGS_SCHEMA))
+
+
 def term_stats_from_postings(postings: DataFrame) -> DataFrame:
     """(term, df, cf) derived from block metadata — no corpus re-scan."""
     return postings.groupBy("term").agg(
