@@ -289,6 +289,64 @@ def phrase_match(pos_postings: DataFrame, phrase: str,
             .orderBy("doc_id"))
 
 
+def compact_positional(pos_postings: DataFrame,
+                       target_positions: int = FLUSH_POSITIONS
+                       ) -> DataFrame:
+    """Segment compaction for the positional index — the same
+    TieredMergePolicy role as postings.compact_postings, over the .pos
+    layout: driver-side greedy packing of adjacent doc-range buckets
+    (one stats row per bucket) into ~``target_positions``-position
+    groups, then one applyInPandas pass per group that decodes each
+    term's blocks (first_doc order == global doc order), concatenates
+    docs/freqs/positions, and re-encodes through _pos_block_rows.
+    Phrase/first_match results are bit-identical; only the physical
+    layout changes."""
+    spark = pos_postings.sparkSession
+    stats = (pos_postings.groupBy("rbucket")
+             .agg(F.min("first_doc").alias("lo"),
+                  F.sum("sum_tf").alias("np"))
+             .orderBy("lo").collect())
+    if not stats:
+        return pos_postings
+    group_of: dict[int, int] = {}
+    gid, acc = 0, 0
+    for r in stats:
+        if acc and acc + int(r["np"]) > target_positions:
+            gid += 1
+            acc = 0
+        group_of[int(r["rbucket"])] = gid
+        acc += int(r["np"])
+    mapping = spark.createDataFrame(
+        [(rb, g) for rb, g in group_of.items()], "rbucket long, _gid long")
+
+    def compact_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid_v = int(pdf["_gid"].iloc[0])
+        terms, offsets = [], [0]
+        d_parts, f_parts, p_parts = [], [], []
+        total = 0
+        for term, g in pdf.groupby("term", sort=True):
+            g = g.sort_values("first_doc")
+            for db, fb, pb in zip(g["doc_blob"], g["freq_blob"],
+                                  g["pos_blob"]):
+                docs, freqs, plists = _decode_block(db, fb, pb)
+                d_parts.append(docs.astype(np.uint64))
+                f_parts.append(freqs.astype(np.uint64))
+                p_parts.append(np.concatenate(plists).astype(np.uint64)
+                               if plists else
+                               np.empty(0, dtype=np.uint64))
+                total += docs.size
+            terms.append(term)
+            offsets.append(total)
+        return _pos_block_rows(terms, np.asarray(offsets, dtype=np.int64),
+                               np.concatenate(d_parts),
+                               np.concatenate(f_parts),
+                               np.concatenate(p_parts), gid_v)
+
+    return (pos_postings.join(F.broadcast(mapping), "rbucket")
+            .groupBy("_gid")
+            .applyInPandas(compact_group, schema=POS_SCHEMA))
+
+
 def first_match(pos_postings: DataFrame, terms: list[str]) -> DataFrame:
     """Earliest position of ANY of ``terms`` per matching doc ->
     (doc_id, first_pos) — the highlighter's anchor (Lucene's highlight

@@ -71,6 +71,43 @@ def test_compaction_is_stable(fragmented, compacted):
     assert again.count() == compacted.count()
 
 
+def test_positional_compaction_bit_identical(spark, docs):
+    """compact_positional: phrase_match + first_match identical over a
+    fragmented positional build collapsed into one bucket."""
+    import re
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        compact_positional, first_match, phrase_match, positional_postings)
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text):
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    sub = docs.filter("doc_id < 200").select("doc_id", "text")
+    pos = positional_postings(sub.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text",
+                              terms_fn=simple_terms).cache()
+    comp = compact_positional(pos).cache()
+    assert comp.select("rbucket").distinct().count() \
+        < pos.select("rbucket").distinct().count()
+    # phrases drawn from the data so matches exist by construction
+    t0 = simple_terms(sub.filter("doc_id = 0").collect()[0]["text"])
+    for phrase in (" ".join(t0[:2]), " ".join(t0[:3])):
+        a = [(r["doc_id"], r["n_matches"]) for r in
+             phrase_match(pos, phrase, terms_fn=simple_terms).collect()]
+        b = [(r["doc_id"], r["n_matches"]) for r in
+             phrase_match(comp, phrase, terms_fn=simple_terms).collect()]
+        assert a == b and a
+    fa = sorted((r["doc_id"], r["first_pos"])
+                for r in first_match(pos, ["stream", "value"]).collect())
+    fb = sorted((r["doc_id"], r["first_pos"])
+                for r in first_match(comp, ["stream", "value"]).collect())
+    assert fa == fb and fa
+    pos.unpersist()
+    comp.unpersist()
+
+
 def test_small_target_packs_multiple_groups(fragmented):
     """A small target yields multiple doc-disjoint groups in range
     order."""

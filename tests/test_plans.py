@@ -168,6 +168,20 @@ def test_no_contract_query_plans_global_window(spark):
                 f"{name}: {node} has empty partitionSpec (global window)"
 
 
+def test_new_query_clause_joins_broadcast(spark):
+    """boolean/mlt clause-table joins must broadcast (clauses, dfq,
+    reqs, seed and corpus stats are all driver-tiny); a SortMergeJoin on
+    the term column would shuffle the corpus-wide tf table once per
+    clause set — the r2 rule that query terms never SMJ, extended to the
+    round-3 queries."""
+    from php_lucene_analyzer_spark.queries import q_boolean, q_mlt
+
+    for fn in (q_boolean, q_mlt):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
 def test_dense_rank_ids_no_global_window(spark):
     """Term/doc-id assignment must never plan a single-partition global
     window (the vocabulary-scale bottleneck): the two-phase scheme's only
