@@ -26,7 +26,7 @@ from collections.abc import Callable
 import pandas as pd
 import pyspark.sql.functions as F
 
-from .filters import ENGLISH_STOP_WORDS, lowercase, stop
+from .filters import ENGLISH_STOP_WORDS, lowercase, stop, synonyms
 from .porter2 import stem as porter2_stem
 from .tokenizer import (MAX_TOKEN_LEN, TYPE_ALPHANUM, TYPE_NUM, Token,
                         standard_tokenize, token_spans)
@@ -38,11 +38,16 @@ class Analyzer:
                  lower: bool = True,
                  stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
                  stemmer: str | None = "porter2",
-                 hunspell=None, morphology=None, char_map=None):
+                 hunspell=None, morphology=None, char_map=None,
+                 synonyms: dict[str, tuple[str, ...]] | None = None):
         self.char_map = char_map  # NormalizeCharMap pre-filter (A16)
         self.word_delimiter = word_delimiter
         self.lower = lower
         self.stop_words = stop_words or frozenset()
+        # single-token synonym rules (filters.synonyms), applied after
+        # stop and BEFORE stemming so both sides of a rule stem — the
+        # usual Lucene chain order for SynonymGraphFilter
+        self.synonyms = {k: tuple(v) for k, v in (synonyms or {}).items()}
         self._stem = self._make_stemmer(stemmer, hunspell, morphology)
         self._pipe_cache: dict[str, tuple[str, ...]] = {}
 
@@ -74,6 +79,8 @@ class Analyzer:
             toks = lowercase(toks)
         if self.stop_words:
             toks = stop(toks, self.stop_words)
+        if self.synonyms:
+            toks = synonyms(toks, self.synonyms)
         out: list[Token] = []
         for t in toks:
             stems = self._stem(t.term)
@@ -94,6 +101,8 @@ class Analyzer:
             toks = lowercase(toks)
         if self.stop_words:
             toks = stop(toks, self.stop_words)
+        if self.synonyms:
+            toks = synonyms(toks, self.synonyms)
         v = tuple(s for t in toks for s in self._stem(t.term))
         if len(self._pipe_cache) < 2_000_000:
             self._pipe_cache[raw] = v

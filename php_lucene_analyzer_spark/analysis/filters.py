@@ -26,6 +26,25 @@ def lowercase(tokens: list[Token]) -> list[Token]:
     return [t._replace(term=t.term.lower()) for t in tokens]
 
 
+def synonyms(tokens: list[Token],
+             syn_map: dict[str, tuple[str, ...]]) -> list[Token]:
+    """SynonymGraphFilter semantics for single-token rules (Lucene's
+    keepOrig=true form): each synonym of a matched term is STACKED at
+    the same position — pos_inc 0, original offsets/pos_len — exactly
+    the mechanics MorphologyFilter uses for lemma stacks
+    (/root/reference/src/analyses/morphology/analyzer/
+    MorphologyFilter.php:36,59-63), so phrase queries see the synonym at
+    the original's position.  Multi-token rules (graph insertion with
+    pos_len > 1) are out of scope — single-token rules are the common
+    production case and behave identically to Lucene's filter."""
+    out: list[Token] = []
+    for t in tokens:
+        out.append(t)
+        for s in syn_map.get(t.term, ()):
+            out.append(t._replace(term=s, pos_inc=0))
+    return out
+
+
 def stop(tokens: list[Token], stop_words: frozenset[str] = ENGLISH_STOP_WORDS) -> list[Token]:
     out: list[Token] = []
     hole = 0
