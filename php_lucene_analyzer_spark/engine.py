@@ -200,14 +200,19 @@ class FulltextIndex:
         (term, df, dist), DirectSpellChecker ranking (dist asc, df desc,
         term asc) over the term dictionary
         (operators/fulltext.py::suggest_terms).  The word is analyzed
-        first so suggestions live in the index's stemmed vocabulary; an
+        first so suggestions live in the index's stemmed vocabulary; the
+        FIRST token of the analyzed stream is the suggestion target
+        (DirectSpellChecker is per-term — callers suggest per word); an
         all-stopword/empty word returns no rows."""
         from .operators.fulltext import suggest_terms
-        terms = self._terms(word)
-        if not terms:
+        if self.analyzer is not None:
+            stream = self.analyzer.terms(word)
+        else:
+            stream = [t.term for t in analyze(word)]
+        if not stream:
             return self.spark.createDataFrame(
                 [], "term string, df long, dist long")
-        return suggest_terms(self.tstats, terms[0], max_edits, k,
+        return suggest_terms(self.tstats, stream[0], max_edits, k,
                              prefix_len)
 
     def search_regex(self, pattern: str, k: int = 10,
@@ -215,25 +220,40 @@ class FulltextIndex:
         """RegexpQuery role: match the term dictionary with Spark's
         native ``rlike`` (the automaton package's regex runner maps to
         the JVM regex engine — SURVEY A19), expand df-descending like
-        Lucene's top-terms rewrite (bounded), WAND the union."""
+        Lucene's top-terms rewrite (bounded), WAND the union.
+
+        The pattern is anchored to the WHOLE term (``^(?:...)$``) —
+        Lucene RegexpQuery semantics; a bare ``rlike`` would match
+        substrings ('cat' hitting 'concatenate')."""
         terms = [r["term"] for r in
-                 (self.tstats.filter(F.col("term").rlike(pattern))
+                 (self.tstats.filter(
+                     F.col("term").rlike(f"^(?:{pattern})$"))
                   .orderBy(F.desc("df"), F.asc("term"))
                   .limit(max_expansions).collect())]
         return wand_topk_terms(self.postings, self.tstats, self.n_docs,
                                self.avgdl, sorted(terms), k)
 
     def compact(self) -> "FulltextIndex":
-        """Rewrite fragmented posting blocks into full-size ones
-        (operators/postings.py::compact_postings — Lucene's
-        TieredMergePolicy role; bit-identical query results).  Returns a
-        NEW index over the compacted, eagerly-materialized layout; the
-        original index is untouched (close() it to release its caches)."""
+        """Rewrite fragmented posting blocks — and the positional index,
+        when present — into full-size ones (operators/postings.py::
+        compact_postings + operators/positional.py::compact_positional,
+        Lucene's TieredMergePolicy role; bit-identical query results).
+        Returns a NEW index over the compacted, eagerly-materialized
+        layout with its derived term stats cached (queries must not
+        re-aggregate the postings per call); the original index is
+        untouched (close() it to release its caches)."""
+        from .operators.positional import compact_positional
         from .operators.postings import compact_postings
         cp = compact_postings(self.postings).localCheckpoint(eager=True)
-        return FulltextIndex(self.spark, cp, term_stats_from_postings(cp),
-                             self.n_docs, self.avgdl, self.analyzer,
-                             self.positional)
+        ts = term_stats_from_postings(cp).cache()
+        pos = None
+        if self.positional is not None:
+            pos = compact_positional(self.positional) \
+                .localCheckpoint(eager=True)
+        idx = FulltextIndex(self.spark, cp, ts, self.n_docs, self.avgdl,
+                            self.analyzer, pos)
+        idx._cached = [ts]
+        return idx
 
     def stats(self) -> dict:
         """Index statistics (Lucene IndexReader counters): n_docs,

@@ -77,30 +77,28 @@ def _bool_bucket(pdf: pd.DataFrame, scoring_meta: list[tuple[str, float]],
         # can satisfy the conjunction (buckets are doc-disjoint)
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
+    # per-bucket doc arrays of the SHOULD clauses (shared by both msm
+    # paths below — keep one definition so they cannot diverge)
+    should_docs = [decoded[t][0] for t, _ in scoring_meta
+                   if t in decoded and t not in must]
     if n_must:
         cand = decoded[must_in_bucket[0]][0]
         for t in must_in_bucket[1:]:
             cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
             if cand.size == 0:
                 break
+    elif not should_docs:
+        cand = np.empty(0, dtype=np.int64)
+    elif msm <= 1:
+        cand = np.unique(np.concatenate(should_docs))
     else:
-        should_docs = [decoded[t][0] for t, _ in scoring_meta
-                       if t in decoded and t not in must]
-        if not should_docs:
-            cand = np.empty(0, dtype=np.int64)
-        elif msm <= 1:
-            cand = np.unique(np.concatenate(should_docs))
-        else:
-            allc = np.concatenate(should_docs)
-            u, c = np.unique(allc, return_counts=True)
-            cand = u[c >= msm]
+        u, c = np.unique(np.concatenate(should_docs), return_counts=True)
+        cand = u[c >= msm]
     if cand.size == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
 
     if n_must and msm:
-        should_docs = [decoded[t][0] for t, _ in scoring_meta
-                       if t in decoded and t not in must]
         if len(should_docs) < msm:
             cand = np.empty(0, dtype=np.int64)
         else:

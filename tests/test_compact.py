@@ -108,6 +108,32 @@ def test_positional_compaction_bit_identical(spark, docs):
     comp.unpersist()
 
 
+def test_facade_compact_covers_positional_and_caches_tstats(spark, docs):
+    """FulltextIndex.compact() must compact the positional layout too
+    and hand back CACHED term stats (queries must not re-aggregate the
+    postings per call)."""
+    from pyspark import StorageLevel
+
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+
+    sub = docs.filter("doc_id < 80").select("doc_id", "text")
+    idx = FulltextIndex.build(spark, sub, ["doc_id"], text_col="text",
+                              positional=True)
+    a = [(r["doc_id"], r["score"]) for r in idx.search("fast value").collect()]
+    pa = sorted((r["doc_id"], r["n_matches"])
+                for r in idx.phrase("fast value").collect())
+    c = idx.compact()
+    assert c.positional is not None
+    assert c.tstats.storageLevel != StorageLevel.NONE
+    b = [(r["doc_id"], r["score"]) for r in c.search("fast value").collect()]
+    pb = sorted((r["doc_id"], r["n_matches"])
+                for r in c.phrase("fast value").collect())
+    assert a == b
+    assert pa == pb
+    c.close()
+    idx.close()
+
+
 def test_small_target_packs_multiple_groups(fragmented):
     """A small target yields multiple doc-disjoint groups in range
     order."""

@@ -125,6 +125,28 @@ def test_search_regex_equals_prefix_expansion(idx):
     assert a == b
 
 
+def test_search_regex_is_whole_term_anchored(idx):
+    """RegexpQuery semantics: the pattern matches the WHOLE term — a
+    bare fragment must not hit terms merely containing it."""
+    from php_lucene_analyzer_spark.operators.wand import wand_topk_terms
+    got = [(r["doc_id"], r["score"])
+           for r in idx.search_regex("merg", k=5).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in wand_topk_terms(idx.postings, idx.tstats, idx.n_docs,
+                                     idx.avgdl, ["merg"], 5).collect()]
+    assert got == want and got
+
+
+def test_suggest_targets_first_stream_token(idx):
+    """Multi-token input: the suggestion target is the FIRST analyzed
+    token in stream order, not the alphabetically smallest."""
+    a = [(r["term"], r["dist"])
+         for r in idx.suggest("value stram", k=3).collect()]
+    b = [(r["term"], r["dist"])
+         for r in idx.suggest("value", k=3).collect()]
+    assert a == b and a  # 'valu' (stream-first), never 'stram'
+
+
 def test_stats_counters(idx):
     s = idx.stats()
     assert s["n_docs"] > 0 and s["avgdl"] > 0
