@@ -194,6 +194,114 @@ class FulltextIndex:
                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         return out
 
+    def query(self, q: str, k: int = 10, msm: int = 0,
+              max_expansions: int = 64) -> DataFrame:
+        """Execute a Lucene-style query STRING (queryparser.py — classic
+        QueryParser subset: ``+must -not "phrase" fuzzy~2 prefi* /re.x/``)
+        -> (doc_id, score).
+
+        Compilation: term/fuzzy/prefix/regex clauses become clause
+        GROUPS for the boolean kernel (operators/boolean.py::
+        boolean_groups_topk — a group matches when any of its expansion
+        terms does); phrases are filter clauses evaluated on the packed
+        positional index and joined in (semi for ``+"..."``, anti for
+        ``-"..."``) BEFORE the global top-k, with the kernel's
+        per-bucket cut disabled so the filter cannot drop survivors.
+        See queryparser.py's module docstring for the documented
+        divergences from classic QueryParser."""
+        from .operators.boolean import boolean_groups_topk
+        from .operators.fulltext import fuzzy_expand
+        from .queryparser import parse
+
+        must_g, should_g, not_terms = [], [], []
+        phr_must, phr_not = [], []
+        for c in parse(q):
+            if c.kind == "phrase":
+                if c.mod == "+":
+                    phr_must.append(c.value)
+                elif c.mod == "-":
+                    phr_not.append(c.value)
+                else:
+                    raise ValueError(
+                        f'SHOULD phrase "{c.value}" unsupported — phrases '
+                        f'are filter clauses, write +"{c.value}" or '
+                        f'-"{c.value}"')
+                continue
+            if c.kind == "term":
+                terms = self._terms(c.value)
+                if not terms:
+                    continue
+                if c.mod == "+":
+                    must_g.extend([t] for t in terms)  # conjunction
+                elif c.mod == "-":
+                    not_terms.extend(terms)
+                else:
+                    should_g.append(terms)  # one any-of group per word
+                continue
+            # dictionary-expanded clauses -> one any-of group
+            if c.kind == "fuzzy":
+                base = self._terms(c.value)
+                terms = sorted({
+                    r["term"] for t in base for r in
+                    fuzzy_expand(self.tstats, t, c.edits).collect()})
+            elif c.kind == "prefix":
+                terms = [r["term"] for r in
+                         (self.tstats.filter(
+                             F.col("term").startswith(c.value.lower()))
+                          .orderBy(F.desc("df"), F.asc("term"))
+                          .limit(max_expansions).collect())]
+            else:  # regex, whole-term anchored
+                terms = [r["term"] for r in
+                         (self.tstats.filter(
+                             F.col("term").rlike(f"^(?:{c.value})$"))
+                          .orderBy(F.desc("df"), F.asc("term"))
+                          .limit(max_expansions).collect())]
+            if not terms:
+                terms = ["\x00-unmatchable"]  # unmatchable: a MUST
+                # clause with an empty expansion must empty the result,
+                # not silently vanish
+            if c.mod == "+":
+                must_g.append(terms)
+            elif c.mod == "-":
+                not_terms.extend(terms)
+            else:
+                should_g.append(terms)
+
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not (must_g or should_g):
+            if not phr_must:
+                return empty
+            # pure-phrase query: rank by total match count
+            out = None
+            for p in phr_must:
+                m = self.phrase(p).select(
+                    "doc_id", F.col("n_matches").cast("double").alias("s"))
+                out = m if out is None else \
+                    out.join(m.select("doc_id",
+                                      F.col("s").alias("s2")), "doc_id") \
+                       .select("doc_id", (F.col("s") + F.col("s2"))
+                               .alias("s"))
+            for p in phr_not:
+                out = out.join(self.phrase(p).select("doc_id"), "doc_id",
+                               "left_anti")
+            return (out.select("doc_id", F.col("s").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+        filtered = bool(phr_must or phr_not)
+        res = boolean_groups_topk(
+            self.postings, self.tstats, self.n_docs, self.avgdl,
+            must_g, should_g, not_terms, msm,
+            None if filtered else k)
+        if filtered:
+            for p in phr_must:
+                res = res.join(self.phrase(p).select("doc_id"), "doc_id",
+                               "left_semi")
+            for p in phr_not:
+                res = res.join(self.phrase(p).select("doc_id"), "doc_id",
+                               "left_anti")
+            res = res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return res
+
     def suggest(self, word: str, max_edits: int = 2, k: int = 5,
                 prefix_len: int = 1) -> DataFrame:
         """Did-you-mean candidates for a (possibly misspelled) word ->

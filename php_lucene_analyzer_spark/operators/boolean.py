@@ -61,61 +61,81 @@ def _decode_term(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray,
     return docs, tfs, dls
 
 
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                         "score": pd.Series(dtype="float64")})
+
+
+def _group_union(group, decoded) -> np.ndarray:
+    """Sorted-unique union of a clause group's per-bucket doc arrays —
+    a group (e.g. a fuzzy/prefix expansion) matches a doc when ANY of
+    its terms does."""
+    parts = [decoded[t][0] for t in sorted(group) if t in decoded]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    return np.unique(np.concatenate(parts))
+
+
 def _bool_bucket(pdf: pd.DataFrame, scoring_meta: list[tuple[str, float]],
-                 must: set[str], not_terms: set[str], n_must: int,
-                 msm: int, k: int, avgdl: float, k1: float,
-                 b: float) -> pd.DataFrame:
-    """Evaluate the boolean query inside ONE doc-range bucket."""
+                 must_groups: list[frozenset], should_groups: list[frozenset],
+                 not_terms: set[str], msm: int, k: int, avgdl: float,
+                 k1: float, b: float) -> pd.DataFrame:
+    """Evaluate the boolean query inside ONE doc-range bucket.
+
+    Clause GROUPS: a group is a set of index terms that jointly form one
+    Lucene clause (a plain term is a singleton; a fuzzy/prefix/regex
+    clause is its bounded expansion) — the group matches a doc when any
+    of its terms does; MUST means every group matches, msm counts
+    matched SHOULD groups."""
     decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for term, g in pdf.groupby("term"):
         decoded[term] = _decode_term(g)
 
     # ---- candidate set by clause algebra (doc ids only, no scoring yet)
-    must_in_bucket = [t for t in sorted(must) if t in decoded]
-    if n_must and len(must_in_bucket) < n_must:
-        # a MUST term has no postings in this doc range -> no doc here
-        # can satisfy the conjunction (buckets are doc-disjoint)
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "score": pd.Series(dtype="float64")})
-    # per-bucket doc arrays of the SHOULD clauses (shared by both msm
-    # paths below — keep one definition so they cannot diverge)
-    should_docs = [decoded[t][0] for t, _ in scoring_meta
-                   if t in decoded and t not in must]
+    n_must = len(must_groups)
+    should_unions = [_group_union(g, decoded) for g in should_groups]
+    should_unions = [u for u in should_unions if u.size]
     if n_must:
-        cand = decoded[must_in_bucket[0]][0]
-        for t in must_in_bucket[1:]:
-            cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        cand = None
+        for g in must_groups:
+            u = _group_union(g, decoded)
+            if u.size == 0:
+                # no term of a MUST group has postings in this doc range
+                # -> no doc here satisfies the conjunction (buckets are
+                # doc-disjoint)
+                return _empty_result()
+            cand = u if cand is None else np.intersect1d(
+                cand, u, assume_unique=True)
             if cand.size == 0:
-                break
-    elif not should_docs:
-        cand = np.empty(0, dtype=np.int64)
+                return _empty_result()
+    elif not should_unions:
+        return _empty_result()
     elif msm <= 1:
-        cand = np.unique(np.concatenate(should_docs))
+        cand = np.unique(np.concatenate(should_unions))
     else:
-        u, c = np.unique(np.concatenate(should_docs), return_counts=True)
+        u, c = np.unique(np.concatenate(should_unions), return_counts=True)
         cand = u[c >= msm]
     if cand.size == 0:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "score": pd.Series(dtype="float64")})
+        return _empty_result()
 
     if n_must and msm:
-        if len(should_docs) < msm:
+        if len(should_unions) < msm:
             cand = np.empty(0, dtype=np.int64)
         else:
-            allc = np.concatenate(should_docs)
+            allc = np.concatenate(should_unions)
             hits = allc[np.isin(allc, cand, assume_unique=False)]
             u, c = np.unique(hits, return_counts=True)
             cand = u[c >= msm]
         if cand.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
+            return _empty_result()
 
     for t in sorted(not_terms):
         if t in decoded:
             cand = cand[~np.isin(cand, decoded[t][0], assume_unique=True)]
     if cand.size == 0:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "score": pd.Series(dtype="float64")})
+        return _empty_result()
 
     # ---- score survivors: term-lex accumulation (float contract)
     scores = np.zeros(cand.size, dtype=np.float64)
@@ -128,12 +148,81 @@ def _bool_bucket(pdf: pd.DataFrame, scoring_meta: list[tuple[str, float]],
         hit = np.zeros(cand.size, dtype=bool)
         hit[pos_ok] = docs[pos[pos_ok]] == cand[pos_ok]
         p = pos[hit]
-        contrib = (tidf * tfs[p] * (k1 + 1.0)
+        # identical association to the WAND/exhaustive scorers —
+        # idf * (tf * (k1+1)) — so group queries are bit-identical to
+        # wand_topk_terms over the same term set
+        contrib = (tidf * (tfs[p] * (k1 + 1.0))
                    / (tfs[p] + k1 * (1.0 - b + b * dls[p] / avgdl)))
         scores[hit] += contrib
 
+    if k is None:
+        # full filtered match set (callers that post-filter, e.g. phrase
+        # constraints, then take their own global top-k — a per-bucket
+        # cut here would drop docs that survive the later filter)
+        return pd.DataFrame({"doc_id": cand, "score": scores})
     d, s = _topk_cut(cand, scores, k)
     return pd.DataFrame({"doc_id": d, "score": s})
+
+
+def boolean_groups_topk(postings: DataFrame, tstats: DataFrame,
+                        n_docs: int, avgdl: float,
+                        must_groups: list[list[str]] | None = None,
+                        should_groups: list[list[str]] | None = None,
+                        must_not: list[str] | None = None, msm: int = 0,
+                        k: int | None = 10, k1: float = K1,
+                        b: float = B) -> DataFrame:
+    """Boolean top-k over CLAUSE GROUPS -> (doc_id, score).
+
+    ``k=None`` returns the FULL scored match set (no per-bucket cut, no
+    global limit) — for callers that apply a further filter (phrase
+    constraints) before their own top-k.
+
+    A group is the term expansion of one Lucene clause: a plain term is
+    a singleton, a fuzzy/prefix/regex clause is its bounded expansion.
+    Semantics:
+      * every ``must`` group matches (ANY term of the group present); a
+        must group with no corpus term empties the result;
+      * at least ``msm`` SHOULD groups match; with no must groups the
+        effective minimum is ``max(msm, 1)`` (Lucene's pure-SHOULD
+        rule);
+      * no ``must_not`` term matches; must_not never scores;
+      * score = BM25 sum over every matched must/should term (Lucene's
+        rewritten-clause scoring).
+    """
+    spark = postings.sparkSession
+    mg = [frozenset(g) for g in (must_groups or []) if g]
+    sg = [frozenset(g) for g in (should_groups or []) if g]
+    not_s = sorted(set(must_not or []))
+    eff_msm = msm if mg else max(msm, 1)
+    scoring = sorted(set().union(*mg, *sg) if (mg or sg) else set())
+    if not scoring:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    meta_rows = (_filter_terms(tstats, scoring)
+                 .select("term", "df").orderBy("term").collect())
+    dfs = {r["term"]: int(r["df"]) for r in meta_rows}
+    # restrict groups to corpus terms; a must group losing ALL terms
+    # cannot match anywhere
+    mg_alive = [frozenset(t for t in g if t in dfs) for g in mg]
+    if any(not g for g in mg_alive):
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    sg_alive = [frozenset(t for t in g if t in dfs) for g in sg]
+    sg_alive = [g for g in sg_alive if g]
+    if eff_msm > len(sg_alive):
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    scoring_meta = [(t, bm25_idf(n_docs, dfs[t]))
+                    for t in scoring if t in dfs]
+
+    all_terms = sorted(set(t for t, _ in scoring_meta) | set(not_s))
+    matched = _filter_terms(postings, all_terms)  # pushed / semi-join
+    not_set = set(not_s)
+    local = matched.groupBy("rbucket").applyInPandas(
+        lambda pdf: _bool_bucket(pdf, scoring_meta, mg_alive, sg_alive,
+                                 not_set, eff_msm, k, avgdl, k1, b),
+        schema=_EMPTY_SCHEMA)
+    if k is None:
+        return local
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def boolean_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
@@ -141,43 +230,16 @@ def boolean_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
                  should: list[str] | None = None,
                  must_not: list[str] | None = None, msm: int = 0,
                  k: int = 10, k1: float = K1, b: float = B) -> DataFrame:
-    """Boolean top-k -> (doc_id, score) over a built postings index.
-
-    Semantics (Lucene BooleanQuery):
-      * every ``must`` term matches (a must term absent from the corpus
-        empties the result — AND over a non-existent posting list);
-      * at least ``msm`` of the ``should`` terms match; with no must
-        clauses the effective minimum is ``max(msm, 1)`` (a pure-SHOULD
-        BooleanQuery requires one matching clause);
-      * no ``must_not`` term matches; must_not never scores;
-      * score = BM25 sum over matched must+should terms.
-    """
-    spark = postings.sparkSession
+    """Boolean top-k -> (doc_id, score) over a built postings index —
+    the per-TERM form (each term its own clause): every ``must`` term
+    matches, ≥ ``msm`` of the ``should`` terms match (pure-SHOULD
+    requires one), no ``must_not`` term matches, BM25 over matched
+    must+should terms.  Thin wrapper over ``boolean_groups_topk`` with
+    singleton groups (a must term absent from the corpus empties the
+    result, as before)."""
     must_s = sorted(set(must or []))
     should_s = sorted(set(should or []) - set(must_s))
-    not_s = sorted(set(must_not or []))
-    eff_msm = msm if must_s else max(msm, 1)
-    scoring = sorted(set(must_s) | set(should_s))
-    if not scoring:
-        return spark.createDataFrame([], _EMPTY_SCHEMA)
-
-    meta_rows = (_filter_terms(tstats, scoring)
-                 .select("term", "df").orderBy("term").collect())
-    dfs = {r["term"]: int(r["df"]) for r in meta_rows}
-    if any(t not in dfs for t in must_s):
-        return spark.createDataFrame([], _EMPTY_SCHEMA)
-    should_alive = [t for t in should_s if t in dfs]
-    if eff_msm > len(should_alive):
-        return spark.createDataFrame([], _EMPTY_SCHEMA)
-    scoring_meta = [(t, bm25_idf(n_docs, dfs[t]))
-                    for t in scoring if t in dfs]
-
-    all_terms = sorted(set(t for t, _ in scoring_meta) | set(not_s))
-    matched = _filter_terms(postings, all_terms)  # pushed / semi-join
-    must_set, not_set = set(must_s), set(not_s)
-    n_must = len(must_s)
-    local = matched.groupBy("rbucket").applyInPandas(
-        lambda pdf: _bool_bucket(pdf, scoring_meta, must_set, not_set,
-                                 n_must, eff_msm, k, avgdl, k1, b),
-        schema=_EMPTY_SCHEMA)
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return boolean_groups_topk(
+        postings, tstats, n_docs, avgdl,
+        [[t] for t in must_s], [[t] for t in should_s],
+        must_not, msm, k, k1, b)

@@ -64,7 +64,8 @@ def _oracle(docs_pdf: pd.DataFrame, must, should, must_not, msm, k=10):
             if t in counts and dfm[t]:
                 idf = ft.idf(n, dfm[t])
                 tf = counts[t]
-                s += (idf * tf * (k1 + 1.0)
+                # same association as the WAND/boolean kernels
+                s += (idf * (tf * (k1 + 1.0))
                       / (tf + k1 * (1.0 - b + b * dls[d] / avgdl)))
         res.append((d, s))
     res.sort(key=lambda x: (-x[1], x[0]))
