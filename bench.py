@@ -96,6 +96,52 @@ def main() -> None:
     extra["serving_qps_batch100"] = round(100 / dt_big, 1) if dt_big else 0.0
     assert n_hits > 0
 
+    # --- fuzzy serving latency (round 4: ALL terms of a query expand in
+    # ONE Spark job — engine.search_fuzzy via expand_specs) ---
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+    fidx = FulltextIndex(spark, postings, tstats, n, avgdl)
+    fuzzy_queries = ["stram", "mrege ordre", "custoner valeu"]
+    flat = []
+    for _ in range(reps):
+        for q in fuzzy_queries:
+            tq = time.time()
+            fidx.search_fuzzy(q, k=10, max_edits=2).collect()
+            flat.append(time.time() - tq)
+    flat.sort()
+    extra["fuzzy_p50_sec"] = round(flat[len(flat) // 2], 4)
+    extra["fuzzy_p95_sec"] = round(
+        flat[min(len(flat) - 1, math.ceil(len(flat) * 0.95) - 1)], 4)
+    timings["fuzzy_suite"] = round(sum(flat) / reps, 3)
+
+    # --- dedup signature throughput: vectorized (JVM shingle hash +
+    # reduceat folds) vs the legacy per-doc/per-shingle Python path ---
+    from php_lucene_analyzer_spark.operators.dedup import (
+        _minhash_batch, minhash_signatures)
+
+    def legacy_sigs(df):
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                sig = _minhash_batch(pdf["text"], 64, 3)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "sig": [row.astype("int64").tolist() for row in sig]})
+        return df.select("doc_id", "text").mapInPandas(
+            gen, schema="doc_id long, sig array<long>")
+
+    minhash_signatures(docs).write.format("noop").mode("overwrite").save()
+    tq = time.time()
+    minhash_signatures(docs).write.format("noop").mode("overwrite").save()
+    dt_new = time.time() - tq
+    tq = time.time()
+    legacy_sigs(docs).write.format("noop").mode("overwrite").save()
+    dt_old = time.time() - tq
+    timings["minhash_signatures"] = round(dt_new, 3)
+    extra["sig_docs_per_sec"] = round(n_docs / dt_new, 1) if dt_new else 0.0
+    extra["sig_speedup_vs_scalar"] = round(dt_old / dt_new, 2) \
+        if dt_new else 0.0
+
     # --- oracle-suite queries: 1 untimed warmup (JIT/codegen) + 1 timed ---
     for name, fn in QUERIES.items():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -44,11 +44,25 @@ def _char_class(ch: str) -> int:
     return _DELIM
 
 
-def split_word(term: str) -> list[tuple[str, int, int]]:
+def split_word(term: str, split_on_case_change: bool = True,
+               split_on_numerics: bool = True,
+               stem_possessive: bool = True,
+               char_type_fn=None) -> list[tuple[str, int, int]]:
     """Return subword parts as (text, rel_start, rel_end) after delimiter
-    removal, case/numeric splits, and possessive stripping."""
+    removal, case/numeric splits, and possessive stripping.
+
+    ``char_type_fn``: optional char -> class override — Lucene's custom
+    ``charTypeTable`` constructor argument (the reference accepts one
+    too, src/analyses/WordDelimiterGraphFilter.php:182, though its
+    forced-default bug makes it unreachable there); return one of
+    CHAR_LOWER / CHAR_UPPER / CHAR_DIGIT / CHAR_DELIM, or None to fall
+    through to the Unicode-category default."""
     n = len(term)
-    cls = [_char_class(c) for c in term]
+    if char_type_fn is None:
+        cls = [_char_class(c) for c in term]
+    else:
+        cls = [t if (t := char_type_fn(c)) is not None else _char_class(c)
+               for c in term]
     parts: list[tuple[str, int, int]] = []
     i = 0
     while i < n:
@@ -58,11 +72,13 @@ def split_word(term: str) -> list[tuple[str, int, int]]:
         j = i + 1
         while j < n and cls[j] != _DELIM:
             prev_c, cur_c = cls[j - 1], cls[j]
-            if (prev_c == _LOWER and cur_c == _UPPER):
+            if split_on_case_change and (prev_c == _LOWER
+                                         and cur_c == _UPPER):
                 break  # case change
-            if (prev_c == _DIGIT) != (cur_c == _DIGIT):
+            if split_on_numerics and (prev_c == _DIGIT) != (cur_c == _DIGIT):
                 break  # letter <-> digit
-            if (prev_c == _UPPER and cur_c == _UPPER
+            if split_on_case_change and (
+                    prev_c == _UPPER and cur_c == _UPPER
                     and j + 1 < n and cls[j + 1] == _LOWER):
                 break  # ACRONYMWord: break before final upper
             j += 1
@@ -73,7 +89,8 @@ def split_word(term: str) -> list[tuple[str, int, int]]:
         # a subword followed by 's + (end | delimiter) swallows the 's
         # (WordDelimiterIterator::next :158-160 sets skipPossessive;
         # endsWithPossessive :278-286 — ASCII apostrophe only)
-        if (e + 1 < n and term[e] == "'" and term[e + 1] in ("s", "S")
+        if (stem_possessive and e + 1 < n and term[e] == "'"
+                and term[e + 1] in ("s", "S")
                 and (e + 2 == n or cls[e + 2] == _DELIM)):
             i = e + 2
         else:
@@ -95,14 +112,63 @@ class _SplitCache(dict):
 
 _CACHE = _SplitCache()
 
+# public char classes for custom charTypeTable functions (split_word)
+CHAR_LOWER, CHAR_UPPER, CHAR_DIGIT, CHAR_DELIM = (_LOWER, _UPPER,
+                                                  _DIGIT, _DELIM)
 
-def word_delimiter_graph(tokens: list[Token]) -> list[Token]:
+# Lucene WordDelimiterGraphFilter flag bits (reference
+# src/analyses/WordDelimiterGraphFilter.php:72-125 defines the same
+# constants; its constructor bug :182-220 makes non-defaults
+# unreachable THERE — these are Lucene-parity beyond the reference)
+GENERATE_WORD_PARTS = 1
+GENERATE_NUMBER_PARTS = 2
+CATENATE_WORDS = 4
+CATENATE_NUMBERS = 8
+CATENATE_ALL = 16
+PRESERVE_ORIGINAL = 32
+SPLIT_ON_CASE_CHANGE = 64
+SPLIT_ON_NUMERICS = 128
+STEM_ENGLISH_POSSESSIVE = 256
+
+# the flag set the reference's constructor FORCES (module docstring)
+DEFAULT_FLAGS = (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS
+                 | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS
+                 | STEM_ENGLISH_POSSESSIVE | PRESERVE_ORIGINAL)
+
+
+def _part_kind(text: str) -> str:
+    """'num' when every char is a digit, else 'word' (Lucene's part
+    typing for the catenate buffers)."""
+    return "num" if text.isdigit() else "word"
+
+
+def word_delimiter_graph(tokens: list[Token],
+                         flags: int = DEFAULT_FLAGS,
+                         char_type_fn=None) -> list[Token]:
+    """WDGF over a token stream.  Default ``flags`` reproduce the
+    reference's forced behavior bit-for-bit; CATENATE_WORDS /
+    CATENATE_NUMBERS / CATENATE_ALL additionally emit runs of adjacent
+    same-kind parts joined together ("wi-fi" -> "wifi"), positioned at
+    the run's first part spanning pos_len = #parts (longest-span-first
+    at each position — the PositionSorter order).  Catenations emit
+    only for runs of >= 2 parts (a 1-part run is already covered by the
+    part/original).  ``char_type_fn`` customizes char classes
+    (charTypeTable role)."""
+    default_path = flags == DEFAULT_FLAGS and char_type_fn is None
     out: list[Token] = []
     for tok in tokens:
         if tok.type not in (TYPE_ALPHANUM, TYPE_NUM):
             out.append(tok)
             continue
-        parts = _CACHE[tok.term]
+        if default_path:
+            parts = _CACHE[tok.term]
+        else:
+            parts = split_word(
+                tok.term,
+                split_on_case_change=bool(flags & SPLIT_ON_CASE_CHANGE),
+                split_on_numerics=bool(flags & SPLIT_ON_NUMERICS),
+                stem_possessive=bool(flags & STEM_ENGLISH_POSSESSIVE),
+                char_type_fn=char_type_fn)
         if len(parts) == 1 and parts[0][0] == tok.term:
             out.append(tok)
             continue
@@ -111,10 +177,52 @@ def word_delimiter_graph(tokens: list[Token]) -> list[Token]:
             # the tokenizer, but keep the original to be safe)
             out.append(tok)
             continue
-        # PRESERVE_ORIGINAL: original first, spanning all part positions
-        out.append(Token(tok.term, tok.start, tok.end, tok.pos_inc,
-                         len(parts), tok.type))
+        # catenation runs: (start_part_idx, n_parts, text, rs, re)
+        cats: dict[int, list[tuple[int, str, int, int]]] = {}
+        if flags & (CATENATE_WORDS | CATENATE_NUMBERS | CATENATE_ALL):
+            def add_run(run):
+                if len(run) >= 2:
+                    k0 = run[0][0]
+                    text = "".join(p[1] for p in run)
+                    cats.setdefault(k0, []).append(
+                        (len(run), text, run[0][2], run[-1][3]))
+
+            for want, flag in (("word", CATENATE_WORDS),
+                               ("num", CATENATE_NUMBERS),
+                               (None, CATENATE_ALL)):
+                if not flags & flag:
+                    continue
+                run = []
+                for k, (text, rs, re_) in enumerate(parts):
+                    if want is None or _part_kind(text) == want:
+                        run.append((k, text, rs, re_))
+                    else:
+                        add_run(run)
+                        run = []
+                add_run(run)
+
+        # emission: original (span all) first, then per position:
+        # catenations (longer first), then the part
+        emitted_any = False
+        if flags & PRESERVE_ORIGINAL:
+            out.append(Token(tok.term, tok.start, tok.end, tok.pos_inc,
+                             len(parts), tok.type))
+            emitted_any = True
         for k, (text, rs, re_) in enumerate(parts):
-            out.append(Token(text, tok.start + rs, tok.start + re_,
-                             0 if k == 0 else 1, 1, tok.type))
+            at_pos: list[Token] = []
+            for span, ctext, crs, cre in sorted(cats.get(k, ()),
+                                                reverse=True):
+                at_pos.append(Token(ctext, tok.start + crs,
+                                    tok.start + cre, 0, span, tok.type))
+            gen = (GENERATE_NUMBER_PARTS if _part_kind(text) == "num"
+                   else GENERATE_WORD_PARTS)
+            if flags & gen:
+                at_pos.append(Token(text, tok.start + rs,
+                                    tok.start + re_, 0, 1, tok.type))
+            for t in at_pos:
+                inc = (0 if emitted_any and k == 0 else
+                       (tok.pos_inc if not emitted_any else 1)) \
+                    if t is at_pos[0] else 0
+                out.append(t._replace(pos_inc=inc))
+                emitted_any = True
     return out

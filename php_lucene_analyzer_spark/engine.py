@@ -34,10 +34,29 @@ from .operators.wand import (_filter_terms, prefix_topk, wand_topk_many,
                              wand_topk_terms)
 
 
+def _field_avgdl(postings: DataFrame, fields: list[str],
+                 n_docs: int) -> dict:
+    """Per-field avgdl from block metadata: Σ sum_tf within a field ==
+    Σ field lengths over docs (dl is the FIELD length in multi-field
+    builds).  Denominator is the corpus doc count for every field —
+    docs missing a field count as length 0, Lucene's norm convention.
+    One metadata agg, no corpus re-scan."""
+    fexpr = (F.when(F.col("term").contains(ft.FIELD_SEP),
+                    F.substring_index("term", ft.FIELD_SEP, 1))
+             .otherwise(F.lit(fields[0])))
+    rows = (postings.groupBy(fexpr.alias("_f"))
+            .agg(F.sum("sum_tf").alias("t")).collect())
+    totals = {r["_f"]: float(r["t"] or 0) for r in rows}
+    return {f: (totals.get(f, 0.0) / n_docs if n_docs else 0.0)
+            for f in fields}
+
+
 class FulltextIndex:
     def __init__(self, spark: SparkSession, postings: DataFrame,
                  tstats: DataFrame, n_docs: int, avgdl: float,
-                 analyzer=None, positional: DataFrame | None = None):
+                 analyzer=None, positional: DataFrame | None = None,
+                 fields: list[str] | None = None,
+                 field_avgdl: dict | None = None):
         self.spark = spark
         self.postings = postings
         self.tstats = tstats
@@ -45,26 +64,47 @@ class FulltextIndex:
         self.avgdl = avgdl
         self.analyzer = analyzer
         self.positional = positional
+        self.fields = fields            # multi-field: fields[0] = default
+        self.field_avgdl = field_avgdl  # {field: avgdl} (multi-field)
 
     # ------------------------------------------------------------- build
     @classmethod
     def build(cls, spark: SparkSession, docs: DataFrame,
               order_cols: list[str], text_col: str = "content",
               analyzer=None, positional: bool = False,
-              partitions: int | None = None) -> "FulltextIndex":
+              partitions: int | None = None,
+              fields: list[str] | None = None,
+              offsets: bool = False) -> "FulltextIndex":
         """Deterministic doc ids -> fused posting-block build (one
         shuffle total); optional packed positional index (uses the
-        flagship chain — phrase semantics are defined by it)."""
+        flagship chain — phrase semantics are defined by it).
+
+        ``fields``: MULTI-FIELD index — list of text columns indexed in
+        one pass (``text_col`` ignored; fields[0] is the default field,
+        stored bare; others stored "<field>\\x1f<term>" — see
+        operators/postings.py::index_corpus).  Queries address them as
+        ``field:term`` / ``field:(...)`` through ``query()``; BM25 uses
+        the FIELD's own avgdl (Lucene per-field norms).  The positional
+        index (phrases/highlighting) covers the default field."""
         ids = ft.with_doc_ids(docs, order_cols, partitions).cache()
         n_docs = ids.count()
+        default_col = fields[0] if fields else text_col
         postings = index_corpus(ids, "doc_id", text_col,
-                                analyzer=analyzer).cache()
+                                analyzer=analyzer, fields=fields).cache()
         tstats = term_stats_from_postings(postings).cache()
-        avgdl = corpus_stats_from_postings(postings, n_docs)
+        field_avgdl = None
+        if fields:
+            field_avgdl = _field_avgdl(postings, fields, n_docs)
+            avgdl = field_avgdl[fields[0]]
+        else:
+            avgdl = corpus_stats_from_postings(postings, n_docs)
         pos = None
         if positional:
-            pos = positional_postings(ids, "doc_id", text_col).cache()
-        idx = cls(spark, postings, tstats, n_docs, avgdl, analyzer, pos)
+            pos = positional_postings(ids, "doc_id", default_col,
+                                      store_offsets=offsets).cache()
+        idx = cls(spark, postings, tstats, n_docs, avgdl, analyzer, pos,
+                  fields=list(fields) if fields else None,
+                  field_avgdl=field_avgdl)
         idx._cached = [ids, postings, tstats] + ([pos] if pos is not None
                                                  else [])
         return idx
@@ -113,27 +153,52 @@ class FulltextIndex:
                            self.avgdl, prefix, k, max_expansions)
 
     def search_fuzzy(self, query: str, k: int = 10, max_edits: int = 2,
-                     prefix_len: int = 0) -> DataFrame:
+                     prefix_len: int = 0,
+                     scoring: str = "bm25") -> DataFrame:
         """Lucene FuzzyQuery's role: expand each analyzed query term to
-        its Levenshtein neighborhood over the term dictionary
-        (operators/fulltext.py::fuzzy_expand — length-band prune + JVM
-        levenshtein, no DFA), then block-max WAND over the expanded
-        OR-set.  Scoring note: Lucene downweights fuzzy matches by
-        (1 - dist/len); this engine scores plain BM25 over the expanded
-        set — documented divergence, same candidate semantics.  The
-        collect is bounded: an edit-distance neighborhood is tiny."""
-        from .operators.fulltext import fuzzy_expand
-        expanded: set[str] = set()
-        for t in self._terms(query):
-            expanded.update(
-                r["term"] for r in
-                fuzzy_expand(self.tstats, t, max_edits,
-                             prefix_len).collect())
+        its Levenshtein neighborhood over the term dictionary, then
+        block-max WAND over the expanded OR-set.  ALL terms expand in
+        ONE Spark job (operators/fulltext.py::expand_specs — length-band
+        prune + JVM levenshtein, no DFA, no per-term round trips); the
+        collect is bounded: an edit-distance neighborhood is tiny.
+
+        ``scoring``:
+          "bm25"   — plain BM25 over the expanded set (engine default;
+                     every expansion term weighs its own idf);
+          "lucene" — Lucene FuzzyTermsEnum's edit-distance downweight:
+                     each (query term -> matched term) clause scales by
+                     1 - dist / min(len(query_term), len(term)), and a
+                     term reachable from two query terms scores once
+                     per clause (BooleanQuery of per-term fuzzy
+                     clauses).  Exact-match terms keep weight 1."""
+        from .operators.fulltext import expand_specs
+        qterms = self._terms(query)
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        specs = [{"kind": "fuzzy", "value": t, "edits": max_edits,
+                  "prefix_len": prefix_len, "field": None, "cap": None}
+                 for t in qterms]
+        expansions = expand_specs(self.tstats, specs)
+        if scoring == "lucene":
+            boosts: list[tuple[str, float]] = []
+            for qt, exp in zip(qterms, expansions):
+                for term, _df, dist in exp:
+                    w = 1.0 - (dist / min(len(qt), len(term))
+                               if dist else 0.0)
+                    boosts.append((term, w))
+            if not boosts:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double")
+            return wand_topk_terms(self.postings, self.tstats,
+                                   self.n_docs, self.avgdl, None, k,
+                                   term_boosts=sorted(boosts))
+        expanded = sorted({t for exp in expansions for t, _, _ in exp})
         if not expanded:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double")
         return wand_topk_terms(self.postings, self.tstats, self.n_docs,
-                               self.avgdl, sorted(expanded), k)
+                               self.avgdl, expanded, k)
 
     def search_boolean(self, must: list[str] | None = None,
                        should: list[str] | None = None,
@@ -151,7 +216,10 @@ class FulltextIndex:
         emitted terms — Lucene would build a synonym/graph query
         (original OR adjacent-parts).  Indexed docs containing the
         literal word carry every expansion term, so results agree
-        whenever the word occurs as written."""
+        whenever the word occurs as written.  A term in BOTH must and
+        should is normalized to must-only (scores once; see
+        boolean_topk's overlap note) — ``query()``'s tree path scores
+        per clause instead."""
         from .operators.boolean import boolean_topk
         expand = lambda qs: [t for q in (qs or []) for t in self._terms(q)]
         return boolean_topk(self.postings, self.tstats, self.n_docs,
@@ -195,112 +263,149 @@ class FulltextIndex:
         return out
 
     def query(self, q: str, k: int = 10, msm: int = 0,
-              max_expansions: int = 64) -> DataFrame:
-        """Execute a Lucene-style query STRING (queryparser.py — classic
-        QueryParser subset: ``+must -not "phrase" fuzzy~2 prefi* /re.x/``)
-        -> (doc_id, score).
+              max_expansions: int = 64,
+              default_operator: str = "OR") -> DataFrame:
+        """Execute a classic-Lucene query STRING -> (doc_id, score).
 
-        Compilation: term/fuzzy/prefix/regex clauses become clause
-        GROUPS for the boolean kernel (operators/boolean.py::
-        boolean_groups_topk — a group matches when any of its expansion
-        terms does); phrases are filter clauses evaluated on the packed
-        positional index and joined in (semi for ``+"..."``, anti for
-        ``-"..."``) BEFORE the global top-k, with the kernel's
-        per-bucket cut disabled so the filter cannot drop survivors.
-        See queryparser.py's module docstring for the documented
-        divergences from classic QueryParser."""
-        from .operators.boolean import boolean_groups_topk
-        from .operators.fulltext import fuzzy_expand
-        from .queryparser import parse
+        Full grammar (queryparser.py): ``+ - NOT AND OR``, parenthesized
+        sub-queries, ``field:term`` / ``field:(...)`` over a multi-field
+        index, phrases (MUST/MUST_NOT = positional filters; SHOULD =
+        scored clauses counting toward msm), fuzzy ``t~1``, prefix
+        ``p*``, wildcards ``t?st``, regex ``/re.x/``, ranges
+        ``[a TO b]``/``{a TO b}``, boosts ``^2``.
 
-        must_g, should_g, not_terms = [], [], []
-        phr_must, phr_not = [], []
-        for c in parse(q):
-            if c.kind == "phrase":
-                if c.mod == "+":
-                    phr_must.append(c.value)
-                elif c.mod == "-":
-                    phr_not.append(c.value)
-                else:
-                    raise ValueError(
-                        f'SHOULD phrase "{c.value}" unsupported — phrases '
-                        f'are filter clauses, write +"{c.value}" or '
-                        f'-"{c.value}"')
-                continue
-            if c.kind == "term":
-                terms = self._terms(c.value)
-                if not terms:
-                    continue
-                if c.mod == "+":
-                    must_g.extend([t] for t in terms)  # conjunction
-                elif c.mod == "-":
-                    not_terms.extend(terms)
-                else:
-                    should_g.append(terms)  # one any-of group per word
-                continue
-            # dictionary-expanded clauses -> one any-of group
-            if c.kind == "fuzzy":
-                base = self._terms(c.value)
-                terms = sorted({
-                    r["term"] for t in base for r in
-                    fuzzy_expand(self.tstats, t, c.edits).collect()})
-            elif c.kind == "prefix":
-                terms = [r["term"] for r in
-                         (self.tstats.filter(
-                             F.col("term").startswith(c.value.lower()))
-                          .orderBy(F.desc("df"), F.asc("term"))
-                          .limit(max_expansions).collect())]
-            else:  # regex, whole-term anchored
-                terms = [r["term"] for r in
-                         (self.tstats.filter(
-                             F.col("term").rlike(f"^(?:{c.value})$"))
-                          .orderBy(F.desc("df"), F.asc("term"))
-                          .limit(max_expansions).collect())]
-            if not terms:
-                terms = ["\x00-unmatchable"]  # unmatchable: a MUST
-                # clause with an empty expansion must empty the result,
-                # not silently vanish
-            if c.mod == "+":
-                must_g.append(terms)
-            elif c.mod == "-":
-                not_terms.extend(terms)
-            else:
-                should_g.append(terms)
+        Compilation (querycompile.py): the AST becomes a nested clause
+        TREE for operators/boolean.py::boolean_tree_topk (Lucene
+        BooleanQuery algebra per level; per-clause scoring, so a term in
+        two clauses scores per clause).  EVERY dictionary expansion
+        (fuzzy/prefix/wildcard/regex/range) runs in ONE Spark job
+        (operators/fulltext.py::expand_specs); positive clauses cap at
+        ``max_expansions`` df-descending (Lucene top-terms rewrite),
+        NEGATIVE clauses expand unbounded (exclusion needs the full
+        match set — Lucene constant-score rewrite; at extreme
+        vocabularies a negative wildcard's expansion is the one place a
+        doc-set anti-join would replace the term list).
+
+        Phrase clauses evaluate on the packed positional index:
+        MUST/MUST_NOT join in (semi/anti) BEFORE the global top-k with
+        the kernel's per-bucket cut disabled; SHOULD phrases score
+        ``boost x Σ idf(phrase terms) x n(k1+1)/(n+k1)`` (BM25
+        saturation without length norm — the positional layout stores
+        no dl; documented divergence) and count toward ``msm``
+        relationally."""
+        from .operators.boolean import boolean_tree_topk
+        from .operators.fulltext import FIELD_SEP, expand_specs, idf
+        from .querycompile import compile_query
+        from .queryparser import MUST, MUST_NOT, SHOULD, parse_query
 
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not (must_g or should_g):
-            if not phr_must:
-                return empty
-            # pure-phrase query: rank by total match count
-            out = None
-            for p in phr_must:
-                m = self.phrase(p).select(
-                    "doc_id", F.col("n_matches").cast("double").alias("s"))
-                out = m if out is None else \
-                    out.join(m.select("doc_id",
-                                      F.col("s").alias("s2")), "doc_id") \
-                       .select("doc_id", (F.col("s") + F.col("s2"))
-                               .alias("s"))
-            for p in phr_not:
-                out = out.join(self.phrase(p).select("doc_id"), "doc_id",
-                               "left_anti")
-            return (out.select("doc_id", F.col("s").alias("score"))
-                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        ast = parse_query(q, default_operator)
+        known = set(self.fields) if self.fields else set()
+        default_field = self.fields[0] if self.fields else None
+        plan = compile_query(ast, self._terms, default_field, msm,
+                             max_expansions, known_fields=known)
+        expansions = expand_specs(self.tstats, plan.specs,
+                                  default_field=default_field) \
+            if plan.specs else []
+        tree, instances = plan.finalize(expansions)
+        phr_must = [(p, b) for o, p, b in plan.phrases if o == MUST]
+        phr_not = [p for o, p, b in plan.phrases if o == MUST_NOT]
+        phr_should = [(p, b) for o, p, b in plan.phrases if o == SHOULD]
 
-        filtered = bool(phr_must or phr_not)
-        res = boolean_groups_topk(
-            self.postings, self.tstats, self.n_docs, self.avgdl,
-            must_g, should_g, not_terms, msm,
-            None if filtered else k)
-        if filtered:
-            for p in phr_must:
-                res = res.join(self.phrase(p).select("doc_id"), "doc_id",
-                               "left_semi")
-            for p in phr_not:
-                res = res.join(self.phrase(p).select("doc_id"), "doc_id",
-                               "left_anti")
-            res = res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        return res
+        has_terms = bool(instances)
+        if not has_terms and not (phr_must or phr_should):
+            return empty
+
+        if self.fields:
+            av = {t: self.field_avgdl[t.split(FIELD_SEP, 1)[0]
+                                      if FIELD_SEP in t
+                                      else self.fields[0]]
+                  for t, _, _ in instances}
+        else:
+            av = self.avgdl
+
+        if not phr_should:
+            if not has_terms:
+                # pure-phrase query (r3 semantics): rank by total
+                # MUST-phrase match count
+                out = None
+                for p, _b in phr_must:
+                    m = self.phrase(p).select(
+                        "doc_id",
+                        F.col("n_matches").cast("double").alias("s"))
+                    out = m if out is None else \
+                        out.join(m.select("doc_id",
+                                          F.col("s").alias("s2")),
+                                 "doc_id") \
+                           .select("doc_id",
+                                   (F.col("s") + F.col("s2")).alias("s"))
+                for p in phr_not:
+                    out = out.join(self.phrase(p).select("doc_id"),
+                                   "doc_id", "left_anti")
+                return (out.select("doc_id", F.col("s").alias("score"))
+                        .orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(k))
+            filtered = bool(phr_must or phr_not)
+            res = boolean_tree_topk(
+                self.postings, self.tstats, self.n_docs, av, tree,
+                instances, None if filtered else k)
+            if filtered:
+                for p, _b in phr_must:
+                    res = res.join(self.phrase(p).select("doc_id"),
+                                   "doc_id", "left_semi")
+                for p in phr_not:
+                    res = res.join(self.phrase(p).select("doc_id"),
+                                   "doc_id", "left_anti")
+                res = res.orderBy(F.desc("score"),
+                                  F.asc("doc_id")).limit(k)
+            return res
+
+        # ---- SHOULD phrases: score + count toward msm relationally
+        if has_terms:
+            base = boolean_tree_topk(
+                self.postings, self.tstats, self.n_docs, av, tree,
+                instances, None, with_counts=True)
+        else:
+            base = self.spark.createDataFrame(
+                [], "doc_id long, score double, n_should int")
+        # one df lookup for every phrase term (sum-idf weights)
+        all_pterms = sorted({t for p, _ in phr_should
+                             for t in self._terms(p)})
+        dfs = {r["term"]: int(r["df"]) for r in
+               _filter_terms(self.tstats, all_pterms)
+               .select("term", "df").collect()} if all_pterms else {}
+        from .operators.fulltext import B as _B, K1 as _K1
+        joined = base
+        ps_cols = []
+        join_how = "left" if (plan.has_must or phr_must) else "full_outer"
+        for i, (p, boost) in enumerate(phr_should):
+            w_p = boost * sum(idf(self.n_docs, dfs[t])
+                              for t in self._terms(p) if t in dfs)
+            pm = self.phrase(p).select(
+                "doc_id",
+                (F.lit(w_p) * F.col("n_matches") * (_K1 + 1.0)
+                 / (F.col("n_matches") + _K1)).alias(f"_ps{i}"))
+            joined = joined.join(pm, "doc_id", join_how)
+            ps_cols.append(f"_ps{i}")
+        n_should_total = F.coalesce(F.col("n_should"), F.lit(0))
+        score_total = F.coalesce(F.col("score"), F.lit(0.0))
+        for c in ps_cols:
+            n_should_total = n_should_total + \
+                F.when(F.col(c).isNotNull(), 1).otherwise(0)
+            score_total = score_total + F.coalesce(F.col(c), F.lit(0.0))
+        eff_msm = msm if (plan.has_must or phr_must) else max(msm, 1)
+        res = (joined
+               .withColumn("_n", n_should_total)
+               .withColumn("_s", score_total)
+               .filter(F.col("_n") >= eff_msm)
+               .select("doc_id", F.col("_s").alias("score")))
+        for p, _b in phr_must:
+            res = res.join(self.phrase(p).select("doc_id"), "doc_id",
+                           "left_semi")
+        for p in phr_not:
+            res = res.join(self.phrase(p).select("doc_id"), "doc_id",
+                           "left_anti")
+        return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def suggest(self, word: str, max_edits: int = 2, k: int = 5,
                 prefix_len: int = 1) -> DataFrame:
@@ -379,14 +484,46 @@ class FulltextIndex:
         term per matching doc (operators/positional.py::first_match) —
         the highlighter anchor.  Requires ``build(..., positional=True)``
         or a loaded positional dir.  Positions are the chain's GRAPH
-        positions; snippet text needs char offsets, which the positional
-        codec doesn't store — the contract query `highlight` slices
-        token arrays under the simplified tokenization instead."""
+        positions; for CHAR-offset anchors and real source-text
+        snippets build with ``offsets=True`` and use
+        ``snippet_spans``/``snippets`` (round 4)."""
         from .operators.positional import first_match
         if self.positional is None:
             raise ValueError("highlight_anchors needs a positional index "
                              "(build(..., positional=True))")
         return first_match(self.positional, self._terms(query))
+
+    def snippet_spans(self, query: str) -> DataFrame:
+        """(doc_id, first_pos, start, end): the earliest occurrence of
+        any analyzed query term per matching doc with REAL char offsets
+        (operators/positional.py::first_match_span — the token stream's
+        offsetAttribute, reference src/analyses/TokenStream.php:16-22,
+        materialized at index time).  Requires
+        ``build(..., positional=True, offsets=True)``."""
+        from .operators.positional import first_match_span
+        if self.positional is None:
+            raise ValueError("snippet_spans needs a positional index "
+                             "(build(..., positional=True, "
+                             "offsets=True))")
+        return first_match_span(self.positional, self._terms(query))
+
+    def snippets(self, query: str, docs: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "content",
+                 pad: int = 30) -> DataFrame:
+        """True highlighter output -> (doc_id, start, end, snippet): the
+        source text around the first matching term, sliced JVM-side
+        (one broadcast-able join + substring — no text re-scan per
+        match).  ``pad``: context chars on each side of the matched
+        token."""
+        spans = self.snippet_spans(query)
+        lo = F.greatest(F.col("start") - pad + 1, F.lit(1))
+        ln = F.col("end") + pad - lo + 1
+        return (spans.join(
+            docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("_text")), "doc_id")
+            .select("doc_id", "start", "end",
+                    F.substring(F.col("_text"), lo.cast("int"),
+                                ln.cast("int")).alias("snippet")))
 
     def phrase(self, phrase: str) -> DataFrame:
         """Exact-phrase docs -> (doc_id, n_matches); needs
@@ -417,7 +554,9 @@ class FulltextIndex:
             json.dump({**header_fields(INDEX_WORKDIR_CODEC,
                                        INDEX_WORKDIR_VERSION),
                        "n_docs": self.n_docs, "avgdl": self.avgdl,
-                       "has_positional": self.positional is not None}, f)
+                       "has_positional": self.positional is not None,
+                       "fields": self.fields,
+                       "field_avgdl": self.field_avgdl}, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
@@ -446,4 +585,6 @@ class FulltextIndex:
                              POSITIONAL_VERSION)
             pos = spark.read.parquet(pdir)
         return cls(spark, postings, tstats, int(stats["n_docs"]),
-                   float(stats["avgdl"]), analyzer, pos)
+                   float(stats["avgdl"]), analyzer, pos,
+                   fields=stats.get("fields"),
+                   field_avgdl=stats.get("field_avgdl"))

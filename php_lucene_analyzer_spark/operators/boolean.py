@@ -225,6 +225,197 @@ def boolean_groups_topk(postings: DataFrame, tstats: DataFrame,
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _t_match(node, decoded, cache):
+    """Sorted-unique doc set matching ``node`` inside one bucket.
+
+    Node encoding (hashable nested tuples, built by querycompile):
+      ("leaf", leaf_id, (term, ...))
+      ("node", (must children...), (should children...),
+               (not children...), msm)
+    Semantics per level = Lucene BooleanQuery: every MUST child matches;
+    >= msm SHOULD children match (a pure-SHOULD level needs >= 1, baked
+    into the node's msm at compile time); no NOT child matches."""
+    got = cache.get(node)
+    if got is not None:
+        return got
+    if node[0] == "leaf":
+        parts = [decoded[t][0] for t in node[2] if t in decoded]
+        if not parts:
+            m = np.empty(0, dtype=np.int64)
+        elif len(parts) == 1:
+            m = parts[0]
+        else:
+            m = np.unique(np.concatenate(parts))
+        cache[node] = m
+        return m
+    _, must, should, nots, msm = node
+    cand = None
+    for c in must:
+        u = _t_match(c, decoded, cache)
+        cand = u if cand is None else np.intersect1d(
+            cand, u, assume_unique=True)
+        if cand.size == 0:
+            break
+    should_sets = [_t_match(c, decoded, cache) for c in should]
+    if cand is None:
+        live = [s for s in should_sets if s.size]
+        if not live:
+            cand = np.empty(0, dtype=np.int64)
+        elif msm <= 1:
+            cand = np.unique(np.concatenate(live))
+        else:
+            u, cnt = np.unique(np.concatenate(live), return_counts=True)
+            cand = u[cnt >= msm]
+    elif msm and cand.size:
+        if len(should_sets) < msm:
+            cand = np.empty(0, dtype=np.int64)
+        else:
+            allc = np.concatenate(
+                [s[np.isin(s, cand, assume_unique=True)]
+                 for s in should_sets]) if should_sets else \
+                np.empty(0, dtype=np.int64)
+            u, cnt = np.unique(allc, return_counts=True)
+            cand = u[cnt >= msm]
+    for c in nots:
+        if cand.size == 0:
+            break
+        n = _t_match(c, decoded, cache)
+        if n.size:
+            cand = cand[~np.isin(cand, n, assume_unique=True)]
+    cache[node] = cand
+    return cand
+
+
+def _tree_bucket(pdf: pd.DataFrame, tree, instances, k: int | None,
+                 k1: float, b: float, with_counts: bool) -> pd.DataFrame:
+    """Evaluate a compiled query TREE inside one doc-range bucket.
+
+    ``instances``: [(term, weight, avgdl, leaf_id), ...] sorted by
+    (term, leaf_id) — one scoring instance per positive-path leaf
+    membership; weight = idf x the boost product along the leaf's path.
+    Lucene-faithfully, a term appearing in two clauses scores once per
+    clause.  A leaf contributes to a doc iff the doc matches the leaf
+    AND every ancestor node (its effective set) — a SHOULD sub-query
+    that fails to match contributes nothing even when the doc survives
+    via other clauses.  Accumulation order is (term, leaf_id) — fixed
+    at any parallelism (float contract)."""
+    cols = {"doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64")}
+    if with_counts:
+        cols["n_should"] = pd.Series(dtype="int32")
+    empty = pd.DataFrame(cols)
+    if not len(pdf):
+        return empty
+    decoded: dict[str, tuple] = {}
+    for term, g in pdf.groupby("term"):
+        decoded[term] = _decode_term(g)
+    cache: dict = {}
+    cand = _t_match(tree, decoded, cache)
+    if cand.size == 0:
+        return empty
+
+    # effective sets top-down: eff(child) = match(child) ∩ eff(parent)
+    effs: dict[int, np.ndarray] = {}
+
+    def walk(node, eff):
+        if node[0] == "leaf":
+            m = cache[node]
+            effs[node[1]] = m[np.isin(m, eff, assume_unique=True)] \
+                if m.size and eff.size else np.empty(0, dtype=np.int64)
+            return
+        m = cache[node]
+        my_eff = m[np.isin(m, eff, assume_unique=True)] \
+            if m.size and eff.size else np.empty(0, dtype=np.int64)
+        for c in node[1] + node[2]:      # must + should children score
+            walk(c, my_eff)
+
+    walk(tree, cand)
+
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for term, w, avgdl_t, leaf_id in instances:
+        dec = decoded.get(term)
+        eff = effs.get(leaf_id)
+        if dec is None or eff is None or eff.size == 0:
+            continue
+        docs, tfs, dls = dec
+        pos = np.searchsorted(docs, eff)
+        ok = pos < docs.size
+        hit = np.zeros(eff.size, dtype=bool)
+        hit[ok] = docs[pos[ok]] == eff[ok]
+        if not hit.any():
+            continue
+        p = pos[hit]
+        contrib = (w * (tfs[p] * (k1 + 1.0))
+                   / (tfs[p] + k1 * (1.0 - b + b * dls[p] / avgdl_t)))
+        cpos = np.searchsorted(cand, eff[hit])   # eff ⊆ cand
+        scores[cpos] += contrib
+
+    if with_counts:
+        counts = np.zeros(cand.size, dtype=np.int32)
+        for c in tree[2]:               # root SHOULD children
+            m = cache[c]
+            if m.size:
+                counts[np.isin(cand, m, assume_unique=True)] += 1
+        if k is None:
+            return pd.DataFrame({"doc_id": cand, "score": scores,
+                                 "n_should": counts})
+        d, s = _topk_cut(cand, scores, k)
+        cpos = np.searchsorted(cand, d)
+        return pd.DataFrame({"doc_id": d, "score": s,
+                             "n_should": counts[cpos]})
+    if k is None:
+        return pd.DataFrame({"doc_id": cand, "score": scores})
+    d, s = _topk_cut(cand, scores, k)
+    return pd.DataFrame({"doc_id": d, "score": s})
+
+
+def boolean_tree_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
+                      avgdl, tree, instances_raw,
+                      k: int | None = 10, k1: float = K1, b: float = B,
+                      with_counts: bool = False) -> DataFrame:
+    """Boolean top-k over a compiled query TREE -> (doc_id, score
+    [, n_should]) — the nested-BooleanQuery kernel behind
+    FulltextIndex.query's grouped/boosted/fielded path (the flat path
+    keeps boolean_groups_topk; querycompile.py builds ``tree``).
+
+    ``avgdl``: float (single-field) or {field_prefixed_term -> avgdl}
+    resolution is done by the CALLER — ``instances_raw`` already carries
+    (term, boost_product, avgdl, leaf_id) with idf NOT yet applied
+    (df lookup happens here, one collect for the whole query).
+    ``k=None`` returns the full scored match set (callers that
+    post-filter with phrase constraints).  ``with_counts`` adds the
+    per-doc count of matched ROOT-level SHOULD children (phrase-msm
+    integration)."""
+    spark = postings.sparkSession
+
+    def leaf_terms(node, acc):
+        if node[0] == "leaf":
+            acc.update(node[2])
+        else:
+            for c in node[1] + node[2] + node[3]:
+                leaf_terms(c, acc)
+        return acc
+
+    all_terms = sorted(leaf_terms(tree, set()))
+    schema = _EMPTY_SCHEMA + (", n_should int" if with_counts else "")
+    if not all_terms:
+        return spark.createDataFrame([], schema)
+    dfs = {r["term"]: int(r["df"]) for r in
+           _filter_terms(tstats, all_terms).select("term", "df").collect()}
+    instances = sorted(
+        (t, boost * bm25_idf(n_docs, dfs[t]),
+         avgdl if isinstance(avgdl, float) else avgdl[t], leaf_id)
+        for t, boost, leaf_id in instances_raw if t in dfs)
+    matched = _filter_terms(postings, [t for t in all_terms if t in dfs])
+    local = matched.groupBy("rbucket").applyInPandas(
+        lambda pdf: _tree_bucket(pdf, tree, instances, k, k1, b,
+                                 with_counts),
+        schema=schema)
+    if k is None:
+        return local
+    return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def boolean_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
                  avgdl: float, must: list[str] | None = None,
                  should: list[str] | None = None,
@@ -236,7 +427,15 @@ def boolean_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
     requires one), no ``must_not`` term matches, BM25 over matched
     must+should terms.  Thin wrapper over ``boolean_groups_topk`` with
     singleton groups (a must term absent from the corpus empties the
-    result, as before)."""
+    result, as before).
+
+    Overlap normalization (documented divergence): a term listed in
+    BOTH must and should is kept as a MUST clause only (``should -
+    must``), scoring once and not counting toward msm — Lucene's
+    BooleanQuery would keep both clauses, score the term twice and let
+    it satisfy minimumShouldMatch.  The tree path
+    (``boolean_tree_topk`` / FulltextIndex.query) scores per clause,
+    Lucene-faithfully."""
     must_s = sorted(set(must or []))
     should_s = sorted(set(should or []) - set(must_s))
     return boolean_groups_topk(

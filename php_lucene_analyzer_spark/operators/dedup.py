@@ -51,9 +51,10 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def _minhash_batch(texts: pd.Series, n_hashes: int,
                    shingle_k: int) -> np.ndarray:
-    """(len(texts), n_hashes) uint64 minhash signatures over word
-    k-shingles.  One blake2b per shingle; the n_hashes 'permutations' are
-    xor-folds with fixed odd multipliers (splitmix-style, deterministic)."""
+    """LEGACY scalar reference (blake2b per shingle, per-doc Python
+    loop) — kept as the equivalence/benchmark baseline for the
+    vectorized path (tests/test_dedup_ann.py, BENCH/sig_bench.py);
+    the serving path is ``minhash_signatures`` below."""
     mults = (np.arange(1, n_hashes + 1, dtype=np.uint64)
              * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
     out = np.full((len(texts), n_hashes), np.iinfo(np.uint64).max,
@@ -81,26 +82,115 @@ def _minhash_batch(texts: pd.Series, n_hashes: int,
     return out
 
 
+def _fold_min_signatures(hashes: np.ndarray, offsets: np.ndarray,
+                         n_hashes: int) -> np.ndarray:
+    """Vectorized minhash folds: ``hashes`` = concatenated per-doc
+    shingle hashes (uint64), ``offsets`` = len(docs)+1 segment bounds ->
+    (n_docs, n_hashes) signature matrix.  One multiply + xor-shift +
+    ``np.minimum.reduceat`` per hash function over the WHOLE batch —
+    zero per-doc Python (the r3 VERDICT hot-path fix).  Empty segments
+    get the all-max sentinel."""
+    n_docs = offsets.size - 1
+    out = np.full((n_docs, n_hashes), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    if hashes.size == 0:
+        return out
+    mults = (np.arange(1, n_hashes + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
+    nonempty = offsets[:-1] < offsets[1:]
+    starts = offsets[:-1][nonempty]
+    for hi in range(n_hashes):
+        v = hashes * mults[hi]
+        v ^= v >> np.uint64(31)
+        out[nonempty, hi] = np.minimum.reduceat(v, starts)
+    return out
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 64,
                        shingle_k: int = 3) -> DataFrame:
-    """(doc_id, sig array<long>) — Arrow-batched signature computation."""
+    """(doc_id, sig array<long>) — the 100 TB signature path.
+
+    Stage split (r3 VERDICT item 3 — the per-doc Python hashing loop was
+    the pipeline bottleneck at scale):
+      1. shingling + per-shingle hashing runs JVM-SIDE (codegen):
+         whitespace split -> k-shingle join -> ``xxhash64`` per shingle
+         (the q_lsh_pairs pattern; short docs hash their whole token
+         sequence, empty docs carry no hashes);
+      2. the n_hashes min-folds run VECTORIZED over each Arrow batch
+         (``_fold_min_signatures``: multiply/xor/minimum.reduceat on the
+         concatenated hash array — no per-doc loop, no per-shingle
+         Python hash).
+    Signature VALUES differ from the legacy blake2b path (different
+    base hash) but the estimator is the same family; pair detection on
+    planted duplicates is equivalence-tested in tests/test_dedup_ann.py.
+    """
+    t = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    tc = F.col("_toks")
+    sh = F.when(
+        F.size(tc) >= shingle_k,
+        F.transform(F.sequence(F.lit(0), F.size(tc) - shingle_k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(tc, i + j + 1)
+                               for j in range(shingle_k)]))
+    ).otherwise(F.when(F.size(tc) > 0,
+                       F.array(F.concat_ws(" ", tc)))
+                .otherwise(F.array().cast("array<string>")))
+    hashed = (docs.select(F.col(id_col).alias("doc_id"),
+                          t.alias("_toks"))
+              .select("doc_id",
+                      F.transform(sh, lambda s: F.xxhash64(s))
+                      .alias("hs")))
+
     def gen(batches):
         for pdf in batches:
-            sig = _minhash_batch(pdf[text_col], n_hashes, shingle_k)
+            lens = np.fromiter((len(h) for h in pdf["hs"]),
+                               dtype=np.int64, count=len(pdf))
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            flat = (np.concatenate([np.asarray(h, dtype=np.int64)
+                                    for h in pdf["hs"]])
+                    .astype(np.uint64) if offsets[-1] else
+                    np.empty(0, dtype=np.uint64))
+            sig = _fold_min_signatures(flat, offsets, n_hashes)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].to_numpy(),
-                "sig": [row.astype(np.int64).tolist() for row in sig],
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "sig": list(sig.astype(np.int64)),
             })
 
-    return docs.select(id_col, text_col).mapInPandas(
-        gen, schema="doc_id long, sig array<long>")
+    return hashed.mapInPandas(gen, schema="doc_id long, sig array<long>")
+
+
+def lsh_oversized_buckets(buckets: DataFrame, key_cols: list[str],
+                          max_bucket: int) -> DataFrame:
+    """Audit companion for the LSH bucket cap: (key..., n) rows for
+    every bucket ABOVE ``max_bucket`` — the buckets the candidate
+    self-join will skip.  Run/persist this alongside a capped dedup
+    pass so the drop is recorded, not silent."""
+    return (buckets.groupBy(*key_cols).agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket))
+
+
+def _cap_buckets(buckets: DataFrame, key_cols: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop rows of buckets larger than ``max_bucket`` before the
+    candidate self-join.  A hot bucket (boilerplate headers, license
+    blocks — endemic in code corpora) is O(m²) WITHIN the bucket; one
+    10^5-doc bucket alone is 10^10 candidate pairs.  Excluding
+    oversized buckets is the standard Manku-et-al. guard: near-dup
+    pairs in a dropped bucket still collide via their other bands, and
+    the drop is enumerable via ``lsh_oversized_buckets``."""
+    if max_bucket is None:
+        return buckets
+    sizes = (buckets.groupBy(*key_cols).agg(F.count("*").alias("_bn"))
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    return buckets.join(sizes, key_cols, "left_semi")
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 64,
                       bands: int = 16, shingle_k: int = 3,
-                      min_jaccard: float = 0.5) -> DataFrame:
+                      min_jaccard: float = 0.5,
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
     rows/band = n_hashes/bands; a pair collides in a band iff that band's
@@ -109,6 +199,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     O(n²)).  Candidates are verified with the ESTIMATED Jaccard (matching
     signature fraction); threshold on that.  Returns
     (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+
+    ``max_bucket``: buckets above this size are excluded from candidate
+    generation (see _cap_buckets — the within-bucket quadratic guard;
+    None disables).
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
@@ -126,6 +220,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
                .select("doc_id", F.col("b.band").alias("band"),
                        F.col("b.bh").alias("bh")))
+    buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -217,28 +312,44 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     ``hasher``: "blake2b" (engine default) or "md5" — md5 matches DuckDB's
     ``md5_number_upper`` so the driver oracle can verify the fingerprints
     value-for-value (oracles.py::simhash).  Both are stable across
-    processes; only the per-term hash function differs."""
+    processes; only the per-term hash function differs.
+
+    Vectorization (r3 VERDICT item 3): the only Python-level hashing is
+    one digest per BATCH-unique term (vocabulary is Zipf — a 10k-doc
+    batch reuses most terms); the ±1-bit accumulation runs as one
+    ``np.add.at`` scatter over (doc, term-instance) index arrays — no
+    per-doc loop.  Bit-identical to the scalar reference
+    (tests/test_dedup_ann.py equivalence test)."""
     term_hash = _md5_u64 if hasher == "md5" else _stable_u64
 
     def gen(batches):
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
+            n = len(pdf)
+            doc_idx, all_toks = [], []
             for i, text in enumerate(pdf[text_col]):
                 toks = (text or "").lower().split()
-                if not toks:
-                    out[i] = 0
-                    continue
-                uniq, counts = np.unique(np.array(toks, dtype=object),
-                                         return_counts=True)
-                hs = np.fromiter((term_hash(t.encode()) for t in uniq),
-                                 dtype=np.uint64)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.int64)
-                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                out[i] = int(
-                    np.bitwise_or.reduce(
-                        (acc > 0).astype(np.uint64)
-                        << np.arange(64, dtype=np.uint64)).astype(np.int64))
+                all_toks.extend(toks)
+                doc_idx.append(np.full(len(toks), i, dtype=np.int64))
+            out = np.zeros(n, dtype=np.int64)
+            if all_toks:
+                d = np.concatenate(doc_idx)
+                vocab, t_idx = np.unique(
+                    np.asarray(all_toks, dtype=object),
+                    return_inverse=True)
+                hs = np.fromiter(
+                    (term_hash(t.encode()) for t in vocab),
+                    dtype=np.uint64, count=len(vocab))
+                # (vocab, 64) ±1 bit matrix, one row per UNIQUE term
+                pm1 = (((hs[:, None] >> shifts) & np.uint64(1))
+                       .astype(np.int64) * 2 - 1)
+                acc = np.zeros((n, 64), dtype=np.int64)
+                np.add.at(acc, d, pm1[t_idx])
+                nonempty = np.zeros(n, dtype=bool)
+                nonempty[d] = True
+                packed = ((acc > 0).astype(np.uint64) << shifts) \
+                    .sum(axis=1, dtype=np.uint64).astype(np.int64)
+                out[nonempty] = packed[nonempty]
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
                                 "simhash": out})
 
@@ -247,11 +358,13 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      text_col: str = "text", max_hamming: int = 3,
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Candidate pairs whose simhashes differ by <= max_hamming bits.
     Banding on 4x16-bit sub-keys (a pair within Hamming distance 3 must
-    agree on at least one of 4 bands) then exact popcount verification."""
+    agree on at least one of 4 bands) then exact popcount verification.
+    ``max_bucket``: oversized sub-key buckets are excluded from the
+    self-join (_cap_buckets; None disables)."""
     # fingerprints feed both self-join sides: localCheckpoint (computed
     # once, GC-released — no storage leak across repeated calls)
     sh = simhash64(docs, id_col, text_col).localCheckpoint(eager=False)
@@ -264,6 +377,7 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                .select("doc_id", "simhash",
                        F.col("b.band").alias("band"),
                        F.col("b.key").alias("key")))
+    buckets = _cap_buckets(buckets, ["band", "key"], max_bucket)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))

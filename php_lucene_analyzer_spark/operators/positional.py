@@ -43,21 +43,31 @@ POS_BLOCK_SIZE = 128
 
 POS_SCHEMA = ("term string, rbucket long, block_no int, n int, "
               "first_doc long, last_doc long, sum_tf long, "
-              "doc_blob binary, freq_blob binary, pos_blob binary")
+              "doc_blob binary, freq_blob binary, pos_blob binary, "
+              "ostart_blob binary, olen_blob binary")
 
 _COLS = ["term", "rbucket", "block_no", "n", "first_doc", "last_doc",
-         "sum_tf", "doc_blob", "freq_blob", "pos_blob"]
+         "sum_tf", "doc_blob", "freq_blob", "pos_blob",
+         "ostart_blob", "olen_blob"]
 
 
 def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
                     docs: np.ndarray, freqs: np.ndarray, pos: np.ndarray,
-                    rbucket: int) -> pd.DataFrame:
+                    rbucket: int, ostart: np.ndarray | None = None,
+                    olen: np.ndarray | None = None) -> pd.DataFrame:
     """Vectorized block-row construction for a whole partition.
 
     ``term_offsets``: len(terms)+1 offsets into ``docs``/``freqs`` (each
     term's slice doc-ascending); ``pos``: flat positions, per-doc runs
     ascending, doc boundaries at cumsum(freqs).  ONE VByte pass per blob
-    kind encodes everything (vbyte_encode_slices)."""
+    kind encodes everything (vbyte_encode_slices).
+
+    ``ostart``/``olen``: optional CHAR OFFSETS aligned 1:1 with ``pos``
+    (the token stream's offsetAttribute, reference
+    src/analyses/TokenStream.php:16-22): start encodes like positions
+    (gaps reset per doc — starts ascend with positions), token length
+    encodes raw.  Without them the offset blobs are NULL (layout
+    backward/forward compatible)."""
     if docs.size == 0:
         return pd.DataFrame(columns=_COLS)
     from .postings import tile_blocks
@@ -76,6 +86,16 @@ def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
     pgaps[1:] -= pos[:-1].astype(np.uint64)
     pgaps[pdoc[:-1]] = pos[pdoc[:-1]]
     pos_blobs = vbyte_encode_slices(pgaps, pdoc[bstarts])
+    if ostart is not None:
+        ogaps = ostart.astype(np.uint64).copy()
+        ogaps[1:] -= ostart[:-1].astype(np.uint64)
+        ogaps[pdoc[:-1]] = ostart[pdoc[:-1]]
+        ostart_blobs = vbyte_encode_slices(ogaps, pdoc[bstarts])
+        olen_blobs = vbyte_encode_slices(olen.astype(np.uint64),
+                                         pdoc[bstarts])
+    else:
+        ostart_blobs = [None] * bstarts.size
+        olen_blobs = [None] * bstarts.size
     sum_tf = np.add.reduceat(freqs, bstarts)
     return pd.DataFrame({
         "term": np.asarray(terms, dtype=object)[term_idx],
@@ -88,6 +108,8 @@ def _pos_block_rows(terms: list[str], term_offsets: np.ndarray,
         "doc_blob": doc_blobs,
         "freq_blob": freq_blobs,
         "pos_blob": pos_blobs,
+        "ostart_blob": ostart_blobs,
+        "olen_blob": olen_blobs,
     })
 
 
@@ -97,7 +119,9 @@ FLUSH_POSITIONS = 1 << 19
 def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
                         text_col: str = "content",
                         rbucket_base: int = 0, terms_fn=None,
-                        flush_positions: int = FLUSH_POSITIONS) -> DataFrame:
+                        flush_positions: int = FLUSH_POSITIONS,
+                        store_offsets: bool = False,
+                        spans_fn=None) -> DataFrame:
     """Fused analyze (FULL chain, graph positions) -> positional blocks.
     Requires doc-range-partitioned input (with_doc_ids output) — same
     segment model as postings.index_corpus: zero extra shuffle, heavy
@@ -114,14 +138,25 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
     positional working set is the BM25 one plus the flat position
     arrays, so the bound matters even more here); each flush gets its
     own rbucket and holds all positions of a disjoint doc set, so
-    phrase evaluation per rbucket still sees complete documents."""
+    phrase evaluation per rbucket still sees complete documents.
+
+    ``store_offsets``: also store each kept occurrence's CHAR OFFSETS
+    (start, token length) — the reference token stream's
+    offsetAttribute, what real highlighting needs (engine.snippets).
+    Offsets come from the full chain's Token.start/end, or from
+    ``spans_fn`` (text -> [(term, start, end)], the simplified-
+    tokenization mode).  Stacked tokens at one position keep the FIRST
+    offset (the original's, Lucene WDGF convention)."""
     from .postings import RBUCKET_STRIDE
+
+    with_off = store_offsets
 
     def build(batches):
         from pyspark import TaskContext
 
         base = rbucket_base + TaskContext.get().partitionId()
         # per-term accumulators: docs, per-doc counts, flat positions
+        # (+ flat offset starts/lengths when with_off)
         acc: dict[str, tuple] = {}
         state = {"pending": 0, "flush_no": 0}
 
@@ -138,13 +173,21 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
             docs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
             freqs_a = np.empty(int(offsets[-1]), dtype=np.uint64)
             pos_a = np.empty(int(poffs[-1]), dtype=np.uint64)
+            os_a = np.empty(int(poffs[-1]), dtype=np.uint64) \
+                if with_off else None
+            ol_a = np.empty(int(poffs[-1]), dtype=np.uint64) \
+                if with_off else None
             for i, term in enumerate(terms):
-                d, f, p = acc[term]
+                t = acc[term]
+                d, f, p = t[0], t[1], t[2]
                 s, e = offsets[i], offsets[i + 1]
                 ps, pe = poffs[i], poffs[i + 1]
                 docs_a[s:e] = d
                 freqs_a[s:e] = f
                 pos_a[ps:pe] = p
+                if with_off:
+                    os_a[ps:pe] = t[3]
+                    ol_a[ps:pe] = t[4]
                 # doc-order guard (same as postings.index_corpus): range
                 # partitioning does NOT sort within partitions, so input
                 # rows can arrive doc-unordered — re-sort docs AND gather
@@ -160,33 +203,51 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
                     docs_a[s:e] = docs_a[s:e][order]
                     freqs_a[s:e] = freqs_a[s:e][order]
                     pos_a[ps:pe] = pos_a[gather]
+                    if with_off:
+                        os_a[ps:pe] = os_a[gather]
+                        ol_a[ps:pe] = ol_a[gather]
             rb = base * RBUCKET_STRIDE + state["flush_no"]
             acc.clear()
             state["pending"] = 0
             state["flush_no"] += 1
             return _pos_block_rows(terms, offsets, docs_a, freqs_a,
-                                   pos_a, rb)
+                                   pos_a, rb, os_a, ol_a)
 
         for pdf in batches:
             for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
-                per_term: dict[str, list[int]] = {}
-                if terms_fn is not None:
+                # pos -> (start, len) per term; first token at a
+                # position wins (stacked WDGF parts share the original's
+                # offsets)
+                per_term: dict[str, dict[int, tuple[int, int]]] = {}
+                if spans_fn is not None:
+                    for pos, (term, st, en) in enumerate(
+                            spans_fn(text or "")):
+                        per_term.setdefault(term, {}) \
+                            .setdefault(pos, (st, en - st))
+                elif terms_fn is not None:
                     for pos, term in enumerate(terms_fn(text or "")):
-                        per_term.setdefault(term, []).append(pos)
+                        per_term.setdefault(term, {}) \
+                            .setdefault(pos, (0, 0))
                 else:
                     pos = -1
                     for t in analyze(text or ""):
                         pos += t.pos_inc
-                        per_term.setdefault(t.term, []).append(pos)
+                        per_term.setdefault(t.term, {}) \
+                            .setdefault(pos, (t.start, t.end - t.start))
                 did = int(did)
-                for term, plist in per_term.items():
-                    ps = sorted(set(plist))
+                for term, pmap in per_term.items():
+                    ps = sorted(pmap)
                     e = acc.get(term)
                     if e is None:
-                        e = acc[term] = (array("q"), array("q"), array("q"))
+                        e = acc[term] = (array("q"), array("q"),
+                                         array("q"), array("q"),
+                                         array("q"))
                     e[0].append(did)
                     e[1].append(len(ps))
                     e[2].extend(ps)
+                    if with_off:
+                        e[3].extend(pmap[p][0] for p in ps)
+                        e[4].extend(pmap[p][1] for p in ps)
                     state["pending"] += len(ps)
                 if state["pending"] >= flush_positions:
                     out = flush()
@@ -196,6 +257,9 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
         if out is not None:
             yield out
 
+    if store_offsets and terms_fn is not None and spans_fn is None:
+        raise ValueError("store_offsets needs spans_fn (or the default "
+                         "full chain) — a terms_fn carries no offsets")
     return docs_with_ids.select(id_col, text_col).mapInPandas(
         build, schema=POS_SCHEMA)
 
@@ -214,6 +278,22 @@ def _decode_block(doc_blob: bytes, freq_blob: bytes,
     carry[1:] = cs[starts[1:] - 1]
     abs_pos = (cs - np.repeat(carry, freqs)).astype(np.int64)
     return docs, freqs, np.split(abs_pos, np.cumsum(freqs)[:-1])
+
+
+def _decode_offsets(ostart_blob: bytes, olen_blob: bytes,
+                    freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-> (absolute starts, token lengths), flat, aligned with the
+    block's position entries (starts are per-doc delta-encoded like
+    positions)."""
+    og = vbyte_decode(ostart_blob)
+    ol = vbyte_decode(olen_blob).astype(np.int64)
+    starts_idx = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(
+        np.int64)
+    cs = np.cumsum(og, dtype=np.uint64)
+    carry = np.zeros(len(starts_idx), dtype=np.uint64)
+    carry[1:] = cs[starts_idx[1:] - 1]
+    abs_os = (cs - np.repeat(carry, freqs)).astype(np.int64)
+    return abs_os, ol
 
 
 def _phrase_terms(phrase: str) -> list[tuple[str, int]]:
@@ -294,57 +374,132 @@ def compact_positional(pos_postings: DataFrame,
                        ) -> DataFrame:
     """Segment compaction for the positional index — the same
     TieredMergePolicy role as postings.compact_postings, over the .pos
-    layout: driver-side greedy packing of adjacent doc-range buckets
-    (one stats row per bucket) into ~``target_positions``-position
-    groups, then one applyInPandas pass per group that decodes each
-    term's blocks (first_doc order == global doc order), concatenates
-    docs/freqs/positions, and re-encodes through _pos_block_rows.
-    Phrase/first_match results are bit-identical; only the physical
-    layout changes."""
-    spark = pos_postings.sparkSession
-    stats = (pos_postings.groupBy("rbucket")
-             .agg(F.min("first_doc").alias("lo"),
-                  F.sum("sum_tf").alias("np"))
-             .orderBy("lo").collect())
-    if not stats:
-        return pos_postings
-    group_of: dict[int, int] = {}
-    gid, acc = 0, 0
-    for r in stats:
-        if acc and acc + int(r["np"]) > target_positions:
-            gid += 1
-            acc = 0
-        group_of[int(r["rbucket"])] = gid
-        acc += int(r["np"])
-    mapping = spark.createDataFrame(
-        [(rb, g) for rb, g in group_of.items()], "rbucket long, _gid long")
+    layout: distributed packing of adjacent doc-range buckets into
+    ~``target_positions``-position groups (postings.pack_bucket_groups
+    — no full driver collect), then one applyInPandas pass per group
+    that decodes each term's blocks, concatenates docs/freqs/positions
+    (re-sorting if bucket doc ranges interleave), and re-encodes
+    through _pos_block_rows.  Phrase/first_match results are
+    bit-identical; only the physical layout changes."""
+    from .postings import pack_bucket_groups
+
+    stats = pos_postings.groupBy("rbucket").agg(
+        F.min("first_doc").alias("lo"), F.sum("sum_tf").alias("w"))
+    mapping = pack_bucket_groups(stats, target_positions)
 
     def compact_group(pdf: pd.DataFrame) -> pd.DataFrame:
         gid_v = int(pdf["_gid"].iloc[0])
+        has_off = ("ostart_blob" in pdf.columns
+                   and pdf["ostart_blob"].iloc[0] is not None)
         terms, offsets = [], [0]
         d_parts, f_parts, p_parts = [], [], []
+        os_parts, ol_parts = [], []
         total = 0
         for term, g in pdf.groupby("term", sort=True):
             g = g.sort_values("first_doc")
-            for db, fb, pb in zip(g["doc_blob"], g["freq_blob"],
-                                  g["pos_blob"]):
-                docs, freqs, plists = _decode_block(db, fb, pb)
-                d_parts.append(docs.astype(np.uint64))
-                f_parts.append(freqs.astype(np.uint64))
-                p_parts.append(np.concatenate(plists).astype(np.uint64)
-                               if plists else
-                               np.empty(0, dtype=np.uint64))
-                total += docs.size
+            t_docs, t_freqs, t_plists = [], [], []
+            t_oslices, t_olslices = [], []
+            for _, row in g.iterrows():
+                docs, freqs, plists = _decode_block(
+                    row["doc_blob"], row["freq_blob"], row["pos_blob"])
+                t_docs.append(docs)
+                t_freqs.append(freqs)
+                t_plists.extend(plists)
+                if has_off:
+                    abs_os, ol = _decode_offsets(
+                        row["ostart_blob"], row["olen_blob"], freqs)
+                    bounds = np.cumsum(freqs)[:-1]
+                    t_oslices.extend(np.split(abs_os, bounds))
+                    t_olslices.extend(np.split(ol, bounds))
+            docs_t = np.concatenate(t_docs)
+            freqs_t = np.concatenate(t_freqs)
+            # doc-order guard (same as compact_postings): buckets are
+            # doc-SET disjoint only — interleaved doc ranges across
+            # flushes make first_doc-sorted concatenation non-monotonic
+            # and the gap encode would wrap.  Re-sort docs and gather
+            # each doc's position (and offset) slice along (the
+            # builder's flush-guard pattern).
+            if docs_t.size > 1 and not (docs_t[1:] >= docs_t[:-1]).all():
+                order = np.argsort(docs_t, kind="stable")
+                docs_t = docs_t[order]
+                freqs_t = freqs_t[order]
+                t_plists = [t_plists[j] for j in order]
+                if has_off:
+                    t_oslices = [t_oslices[j] for j in order]
+                    t_olslices = [t_olslices[j] for j in order]
+            d_parts.append(docs_t.astype(np.uint64))
+            f_parts.append(freqs_t.astype(np.uint64))
+            p_parts.append(np.concatenate(t_plists).astype(np.uint64)
+                           if t_plists else np.empty(0, dtype=np.uint64))
+            if has_off:
+                os_parts.append(
+                    np.concatenate(t_oslices).astype(np.uint64)
+                    if t_oslices else np.empty(0, dtype=np.uint64))
+                ol_parts.append(
+                    np.concatenate(t_olslices).astype(np.uint64)
+                    if t_olslices else np.empty(0, dtype=np.uint64))
+            total += docs_t.size
             terms.append(term)
             offsets.append(total)
-        return _pos_block_rows(terms, np.asarray(offsets, dtype=np.int64),
-                               np.concatenate(d_parts),
-                               np.concatenate(f_parts),
-                               np.concatenate(p_parts), gid_v)
+        return _pos_block_rows(
+            terms, np.asarray(offsets, dtype=np.int64),
+            np.concatenate(d_parts), np.concatenate(f_parts),
+            np.concatenate(p_parts), gid_v,
+            np.concatenate(os_parts) if has_off else None,
+            np.concatenate(ol_parts) if has_off else None)
 
     return (pos_postings.join(F.broadcast(mapping), "rbucket")
             .groupBy("_gid")
             .applyInPandas(compact_group, schema=POS_SCHEMA))
+
+
+def first_match_span(pos_postings: DataFrame,
+                     terms: list[str]) -> DataFrame:
+    """Earliest occurrence of ANY of ``terms`` per matching doc WITH its
+    char offsets -> (doc_id, first_pos, start, end) — real highlighter
+    anchors (requires an index built with ``store_offsets=True``; raises
+    on one without offsets).  Per rbucket: each (term, doc) run's first
+    entry is its earliest position (runs ascend); min-reduce across
+    terms by (position, start)."""
+    spark = pos_postings.sparkSession
+    uterms = sorted(set(terms))
+    schema = "doc_id long, first_pos long, start long, end long"
+    if not uterms:
+        return spark.createDataFrame([], schema)
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "first_pos": [], "start": [], "end": []}
+        for _, r in pdf.iterrows():
+            if r["ostart_blob"] is None:
+                raise ValueError(
+                    "first_match_span needs an offsets index "
+                    "(positional_postings(store_offsets=True))")
+            docs, freqs, _ = _decode_block(
+                r["doc_blob"], r["freq_blob"], r["pos_blob"])
+            gaps = vbyte_decode(r["pos_blob"])
+            starts_idx = np.concatenate(
+                ([0], np.cumsum(freqs)))[:-1].astype(np.int64)
+            cs = np.cumsum(gaps, dtype=np.uint64)
+            carry = np.zeros(len(starts_idx), dtype=np.uint64)
+            carry[1:] = cs[starts_idx[1:] - 1]
+            firsts = (cs[starts_idx] - carry).astype(np.int64)
+            abs_os, ol = _decode_offsets(r["ostart_blob"],
+                                         r["olen_blob"], freqs)
+            rows["doc_id"].append(docs)
+            rows["first_pos"].append(firsts)
+            rows["start"].append(abs_os[starts_idx])
+            rows["end"].append(abs_os[starts_idx] + ol[starts_idx])
+        if not rows["doc_id"]:
+            return pd.DataFrame({k: pd.Series(dtype="int64")
+                                 for k in rows})
+        df = pd.DataFrame({k: np.concatenate(v)
+                           for k, v in rows.items()})
+        # earliest position per doc; starts break position ties
+        df = df.sort_values(["doc_id", "first_pos", "start"])
+        return df.groupby("doc_id", as_index=False).first()
+
+    matched = pos_postings.filter(F.col("term").isin(uterms))
+    return matched.groupBy("rbucket").applyInPandas(bucket, schema=schema)
 
 
 def first_match(pos_postings: DataFrame, terms: list[str]) -> DataFrame:

@@ -135,7 +135,8 @@ def _block_rows(terms: list[str], term_offsets: np.ndarray,
 def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
                  text_col: str = "content", analyzer=None,
                  rbucket_base: int = 0,
-                 flush_postings: int = FLUSH_POSTINGS) -> DataFrame:
+                 flush_postings: int = FLUSH_POSTINGS,
+                 fields: list[str] | None = None) -> DataFrame:
     """Fused analyze + posting-block build, one pass, zero extra shuffle.
 
     ``docs_with_ids`` must be partitioned into disjoint doc_id ranges
@@ -155,11 +156,27 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
     time; correctness never depends on it since WAND orders blocks by
     first_doc).  Emitted rbuckets are
     (rbucket_base + partition_id) * RBUCKET_STRIDE + flush_no.
+
+    ``fields``: MULTI-FIELD mode — a list of text columns indexed in
+    the SAME pass (``text_col`` is ignored).  fields[0] is the default
+    field, stored bare; other fields' terms are stored as
+    "<field>\\x1f<term>" (fulltext.FIELD_SEP), so per-field df/cf fall
+    out of the ordinary term stats and dl is the FIELD length (Lucene's
+    per-field norms).  One pass matters beyond the scan cost: a doc's
+    postings across ALL its fields land in the same flush, hence the
+    same rbucket — the per-bucket boolean/WAND kernels see a doc's
+    complete cross-field membership (two per-field passes would flush
+    independently and break that invariant).
     """
+    from .fulltext import FIELD_SEP
+
     if analyzer is not None:
         terms_of = analyzer.terms
     else:
         from ..analysis.chain import analyze_terms as terms_of
+
+    field_list = list(fields) if fields else [text_col]
+    prefixes = [""] + [f + FIELD_SEP for f in field_list[1:]]
 
     def build(batches):
         from array import array
@@ -202,18 +219,25 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
 
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            for did, text in zip(ids, pdf[text_col]):
-                toks = terms_of(text or "")
-                dl = len(toks)
-                c = Counter(toks)
-                for t, tf in c.items():
-                    e = acc.get(t)
-                    if e is None:
-                        e = acc[t] = (array("q"), array("q"), array("q"))
-                    e[0].append(did)
-                    e[1].append(tf)
-                    e[2].append(dl)
-                state["pending"] += len(c)
+            field_vals = [pdf[f].tolist() for f in field_list]
+            for ri, did in enumerate(ids):
+                # all fields of a doc accumulate BEFORE the flush check:
+                # a doc's postings never straddle flushes (the rbucket
+                # doc-disjointness invariant, now per doc across fields)
+                for prefix, vals in zip(prefixes, field_vals):
+                    toks = terms_of(vals[ri] or "")
+                    dl = len(toks)
+                    c = Counter(toks)
+                    for t, tf in c.items():
+                        key = prefix + t if prefix else t
+                        e = acc.get(key)
+                        if e is None:
+                            e = acc[key] = (array("q"), array("q"),
+                                            array("q"))
+                        e[0].append(did)
+                        e[1].append(tf)
+                        e[2].append(dl)
+                    state["pending"] += len(c)
                 if state["pending"] >= flush_postings:
                     out = flush()
                     if out is not None:
@@ -222,7 +246,7 @@ def index_corpus(docs_with_ids: DataFrame, id_col: str = "doc_id",
         if out is not None:
             yield out
 
-    return docs_with_ids.select(id_col, text_col).mapInPandas(
+    return docs_with_ids.select(id_col, *field_list).mapInPandas(
         build, schema=POSTINGS_SCHEMA)
 
 
@@ -255,6 +279,46 @@ def build_postings(tdf: DataFrame, bucket_span: int = 1 << 20) -> DataFrame:
             .applyInPandas(build_group, schema=POSTINGS_SCHEMA))
 
 
+def pack_bucket_groups(stats: DataFrame, target: int) -> DataFrame:
+    """Bucket-extent stats ``(rbucket, lo, w)`` -> ``(rbucket, _gid)``:
+    contiguous doc-range runs of ~``target`` total weight, in ``lo``
+    order — the compaction pack assignment, computed DISTRIBUTIVELY.
+
+    The round-3 implementation collected one stats row per bucket and
+    packed greedily on the driver — metadata-only, but ~10^6-10^7 rows
+    through the driver per compaction at 10^12-doc scale.  This version
+    computes the exclusive weighted cumsum with the same two-phase
+    scheme as ``fulltext.dense_rank_ids`` (range partition on ``lo``,
+    per-partition window, driver-side prefix offsets over #partitions
+    integers) and assigns ``_gid = floor(cum_excl / target)`` — groups
+    are still contiguous runs of doc-disjoint ranges (the WAND/boolean
+    bucket invariant survives), only the exact pack boundaries differ
+    from the greedy rule (physical layout, never results).  ``lo`` is a
+    unique key: buckets are doc-set disjoint, so two buckets cannot
+    share a minimum doc id."""
+    from pyspark.sql import Window
+
+    spark = stats.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (stats.repartitionByRange(n_part, "lo")
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_cum", F.sum("w").over(
+                  Window.partitionBy("_pid").orderBy("lo")))
+              .localCheckpoint(eager=False))
+    totals = ranged.groupBy("_pid").agg(F.sum("w").alias("t")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += int(row["t"])
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return (ranged.join(F.broadcast(off), "_pid", "left")
+            .withColumn("_gid",
+                        ((F.col("_cum") - F.col("w")
+                          + F.coalesce("_off", F.lit(0)))
+                         / F.lit(target)).cast("long"))
+            .select("rbucket", "_gid"))
+
+
 def compact_postings(postings: DataFrame,
                      target_postings: int = FLUSH_POSTINGS) -> DataFrame:
     """Segment compaction — Lucene's TieredMergePolicy role.
@@ -265,12 +329,13 @@ def compact_postings(postings: DataFrame,
     grow with fragment count, not data size.  Compaction rewrites the
     index into full-size blocks:
 
-    1. per-rbucket extent stats (one row per bucket — driver-tiny even
-       at 10^5 buckets) are collected and greedily packed, in doc-range
-       order, into groups of ~``target_postings`` postings.  Buckets are
-       doc-disjoint by construction, and packing only merges ADJACENT
-       ranges, so every group is again a contiguous, disjoint doc range
-       — the WAND/boolean bucket invariant survives;
+    1. per-rbucket extent stats (one row per bucket) are packed, in
+       doc-range order, into groups of ~``target_postings`` postings by
+       ``pack_bucket_groups`` — a distributed prefix-sum assignment (no
+       full driver collect; the driver sees #partitions integers).
+       Buckets are doc-disjoint by construction, and packing only merges
+       ADJACENT ranges, so every group is again a contiguous, disjoint
+       doc range — the WAND/boolean bucket invariant survives;
     2. one applyInPandas pass per group decodes each term's blocks
        (first_doc order == global doc order), concatenates, and rebuilds
        through the same ``_block_rows`` vectorized encoder the builders
@@ -281,22 +346,9 @@ def compact_postings(postings: DataFrame,
     only the physical block/bucket layout changes.  Shuffle cost: one
     groupBy over the postings rows — no corpus re-scan, no re-tokenize.
     """
-    spark = postings.sparkSession
-    stats = (postings.groupBy("rbucket")
-             .agg(F.min("first_doc").alias("lo"), F.sum("n").alias("np"))
-             .orderBy("lo").collect())
-    if not stats:
-        return postings
-    group_of: dict[int, int] = {}
-    gid, acc = 0, 0
-    for r in stats:
-        if acc and acc + int(r["np"]) > target_postings:
-            gid += 1
-            acc = 0
-        group_of[int(r["rbucket"])] = gid
-        acc += int(r["np"])
-    mapping = spark.createDataFrame(
-        [(rb, g) for rb, g in group_of.items()], "rbucket long, _gid long")
+    stats = postings.groupBy("rbucket").agg(
+        F.min("first_doc").alias("lo"), F.sum("n").alias("w"))
+    mapping = pack_bucket_groups(stats, target_postings)
 
     def compact_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.codec import delta_decode, vbyte_decode
@@ -306,13 +358,28 @@ def compact_postings(postings: DataFrame,
         total = 0
         for term, g in pdf.groupby("term", sort=True):
             g = g.sort_values("first_doc")
-            for db, tb, lb in zip(g["doc_blob"], g["tf_blob"],
-                                  g["dl_blob"]):
-                d_parts.append(delta_decode(vbyte_decode(db))
-                               .astype(np.uint64))
-                t_parts.append(vbyte_decode(tb).astype(np.uint64))
-                l_parts.append(vbyte_decode(lb).astype(np.uint64))
-                total += d_parts[-1].size
+            td = [delta_decode(vbyte_decode(db)).astype(np.uint64)
+                  for db in g["doc_blob"]]
+            tt = [vbyte_decode(tb).astype(np.uint64) for tb in g["tf_blob"]]
+            tl = [vbyte_decode(lb).astype(np.uint64) for lb in g["dl_blob"]]
+            docs_t = np.concatenate(td)
+            tfs_t = np.concatenate(tt)
+            dls_t = np.concatenate(tl)
+            # doc-order guard: buckets are doc-SET disjoint, not doc-RANGE
+            # disjoint (index_corpus tolerates doc-unordered partition
+            # input, so two flushes of one partition can interleave doc
+            # ranges) — first_doc-sorted concatenation is then
+            # non-monotonic and the uint64 gap encode in _block_rows
+            # would silently wrap.  Re-sort the term's postings like the
+            # builder's flush guard does.
+            if docs_t.size > 1 and not (docs_t[1:] >= docs_t[:-1]).all():
+                order = np.argsort(docs_t, kind="stable")
+                docs_t, tfs_t, dls_t = (docs_t[order], tfs_t[order],
+                                        dls_t[order])
+            d_parts.append(docs_t)
+            t_parts.append(tfs_t)
+            l_parts.append(dls_t)
+            total += docs_t.size
             terms.append(term)
             offsets.append(total)
         return _block_rows(terms, np.asarray(offsets, dtype=np.int64),

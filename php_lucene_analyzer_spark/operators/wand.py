@@ -446,23 +446,35 @@ def prefix_topk(postings: DataFrame, tdict: DataFrame, n_docs: int,
 
 
 def wand_topk_terms(postings: DataFrame, tstats: DataFrame, n_docs: int,
-                    avgdl: float, terms: list[str], k: int = 10,
-                    k1: float = K1, b: float = B) -> DataFrame:
+                    avgdl: float, terms: list[str] | None, k: int = 10,
+                    k1: float = K1, b: float = B,
+                    term_boosts: list[tuple[str, float]] | None = None
+                    ) -> DataFrame:
     """Core WAND entry over pre-analyzed terms.
 
     ``tstats`` is (term, df, ...) — from term_stats_from_postings or the
     DataFrame path; only the query's rows are collected (driver-side idf,
     see fulltext.idf on why).
-    """
+
+    ``term_boosts``: optional weighted-CLAUSE form, [(term, weight)]
+    sorted by term, possibly with REPEATED terms (one entry per query
+    clause — Lucene's fuzzy edit-distance downweight, boosted clauses).
+    Each entry becomes its own cursor with idf x weight; weights scale
+    every block bound linearly, so WAND pruning stays exact."""
     spark = postings.sparkSession
-    if not terms:
+    entries = term_boosts if term_boosts is not None \
+        else [(t, 1.0) for t in (terms or [])]
+    if not entries:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta_rows = (_filter_terms(tstats, list(terms))
+    uniq = sorted({t for t, _ in entries})
+    meta_rows = (_filter_terms(tstats, uniq)
                  .select("term", "df").orderBy("term").collect())
     if not meta_rows:
         return spark.createDataFrame([], "doc_id long, score double")
-    term_meta = [(r["term"], bm25_idf(n_docs, r["df"])) for r in meta_rows]
-    qterms = [t for t, _ in term_meta]
+    dfs = {r["term"]: int(r["df"]) for r in meta_rows}
+    term_meta = [(t, w * bm25_idf(n_docs, dfs[t]))
+                 for t, w in sorted(entries) if t in dfs]
+    qterms = sorted({t for t, _ in term_meta})
     matched = _filter_terms(postings, qterms)  # pushed to scan / semi-join
     local = matched.groupBy("rbucket").applyInPandas(
         lambda pdf: _wand_bucket(pdf, term_meta, k, avgdl, k1, b),

@@ -526,3 +526,121 @@ SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
        round(sum(value), 4) AS total_value
 FROM g GROUP BY 1
 """
+
+# ---------------------------------------------------------------- round 4
+
+from .queries import GBOOL_CLAUSES, RANGE_QUERIES  # noqa: E402
+
+_GBOOL_CLAUSES = ", ".join(
+    f"('{qid}', {gid}, '{t}', '{role}')"
+    for qid, groups in GBOOL_CLAUSES.items()
+    for role, gid, ts in groups
+    for t in ts)
+_GBOOL_REQS = ", ".join(
+    f"('{qid}', {sum(1 for r, _, _ in g if r == 'm')}, "
+    f"{0 if any(r == 'm' for r, _, _ in g) else 1})"
+    for qid, g in GBOOL_CLAUSES.items())
+
+# Grouped BooleanQuery (queries.GBOOL_QUERIES via the round-4 tree
+# kernel).  Candidates: every MUST group has >= 1 present term, >= msm
+# SHOULD groups hit, no 'n' term present; score: BM25 sum over the
+# PRESENT positive terms (clause terms are disjoint within a query, so
+# per-clause scoring == per-present-term scoring).  n/avgdl use ALL
+# documents (zero-token docs count — the engine's n_docs = corpus row
+# count); both engines rank the 4dp-ROUNDED score with doc_id asc.
+ORACLES["boolean_grouped"] = f"""
+WITH {_TOK}, {_TF},
+dla AS (SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> ''))::BIGINT AS dl
+        FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dla),
+cl(qid, gid, term, role) AS (VALUES {_GBOOL_CLAUSES}),
+req(qid, n_must, msm) AS (VALUES {_GBOOL_REQS}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM cl WHERE role <> 'n') GROUP BY 1),
+per AS (
+  SELECT cl.qid, tf.doc_id,
+         round(sum(CASE WHEN cl.role = 'n' THEN 0
+                   -- parenthesized exactly as the tree kernel
+                   -- associates: w * (tf*(k1+1)) / denom — float
+                   -- multiplication is not associative and the 4dp
+                   -- round must see the identical double
+                   ELSE ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dla.dl / stats.avgdl))
+                   END), 4) AS score,
+         count(DISTINCT CASE WHEN cl.role = 'm' THEN cl.gid END)::BIGINT
+           AS must_hit,
+         count(DISTINCT CASE WHEN cl.role = 's' THEN cl.gid END)::BIGINT
+           AS should_hit,
+         max(CASE WHEN cl.role = 'n' THEN 1 ELSE 0 END) AS not_hit
+  FROM cl JOIN tf USING (term)
+       LEFT JOIN dfq USING (term)
+       JOIN dla ON tf.doc_id = dla.doc_id, stats
+  GROUP BY 1, 2)
+SELECT qid, rank, doc_id, score FROM (
+  SELECT per.qid, doc_id, score,
+         row_number() OVER (PARTITION BY per.qid
+                            ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM per JOIN req ON per.qid = req.qid
+  WHERE must_hit = n_must AND should_hit >= msm AND not_hit = 0)
+WHERE rank <= 10
+"""
+
+_RANGE_PREDS = " UNION ALL ".join(
+    "SELECT '{qid}' AS qid, term_id, term, df FROM td WHERE {conds}".format(
+        qid=qid,
+        conds=" AND ".join(
+            ([f"term >{'=' if incl_lo else ''} '{lo}'"] if lo is not None
+             else [])
+            + ([f"term <{'=' if incl_hi else ''} '{hi}'"] if hi is not None
+               else []))
+        or "TRUE")
+    for qid, (lo, hi, incl_lo, incl_hi) in RANGE_QUERIES.items())
+
+ORACLES["range_terms"] = f"""
+WITH {_TOK}, {_TF},
+ts AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       FROM tf GROUP BY 1),
+td AS (SELECT row_number() OVER (ORDER BY term)::BIGINT AS term_id,
+              term, df FROM ts)
+{_RANGE_PREDS}
+"""
+
+_HL_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, ts in HIGHLIGHT_QUERIES.items() for t in ts)
+
+# Char-offset highlighting (queries.q_snippet_offsets — the offsets-
+# enabled positional index).  The corpus text is single-space-joined
+# lowercase tokens, so the char start of token i is the cumulative
+# length of the preceding tokens plus one separator each; the engine
+# reads the SAME numbers back from its stored offset blobs.
+ORACLES["snippet_offsets"] = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1)::BIGINT AS ord
+        FROM t),
+pref AS (SELECT doc_id, term, ord,
+                COALESCE(sum(length(term) + 1) OVER (
+                    PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS off_start
+         FROM tok WHERE term <> ''),
+q(qid, term) AS (VALUES {_HL_VALUES}),
+hit AS (SELECT q.qid, p.doc_id, p.ord, p.off_start, p.term,
+               row_number() OVER (PARTITION BY q.qid, p.doc_id
+                                  ORDER BY p.ord) AS rn
+        FROM q JOIN pref p USING (term))
+SELECT h.qid, h.doc_id, (h.ord - 1)::BIGINT AS first_pos,
+       h.off_start,
+       (h.off_start + length(h.term))::BIGINT AS off_end,
+       substring(t.text, (h.off_start + 1)::INT,
+                 length(h.term)::INT) AS snippet
+FROM hit h JOIN t ON h.doc_id = t.doc_id
+WHERE h.rn = 1
+"""

@@ -75,6 +75,40 @@ BOOL_QUERIES = {
            "msm": 0},
 }
 
+# grouped-boolean contract set (round 4): classic-QueryParser strings
+# with parenthesized OR-groups, compiled onto the nested tree kernel
+# (operators/boolean.py::boolean_tree_topk) over a REAL posting index
+# built with the simplified tokenization — every group is a pure
+# OR-group and clause terms are disjoint within a query, so the DuckDB
+# oracle reproduces candidates (group-hit algebra) and scores
+# (per-present-term BM25 sum) exactly.
+GBOOL_QUERIES = {
+    "g1": "(fast OR merge) AND stream",
+    "g2": "(window OR order) (sort OR table) -slow",
+    "g3": "+customer (value OR dup) (fast OR slow)",
+    "g4": "(spark OR stream) AND (batch OR join) -dup",
+}
+# (qid, gid, term, role) rows + (qid, n_must_groups, eff_msm) — the
+# compiled shape of GBOOL_QUERIES, duplicated declaratively so the SQL
+# oracle is independent of the parser
+GBOOL_CLAUSES = {
+    "g1": [("m", 0, ["fast", "merge"]), ("m", 1, ["stream"])],
+    "g2": [("s", 0, ["window", "order"]), ("s", 1, ["sort", "table"]),
+           ("n", 2, ["slow"])],
+    "g3": [("m", 0, ["customer"]), ("s", 1, ["value", "dup"]),
+           ("s", 2, ["fast", "slow"])],
+    "g4": [("m", 0, ["spark", "stream"]), ("m", 1, ["batch", "join"]),
+           ("n", 2, ["dup"])],
+}
+
+# term-range contract set (round 4): [lo TO hi] / {lo TO hi} scans on
+# the sorted term dictionary (TermRangeQuery role; min/max-prunable)
+RANGE_QUERIES = {
+    "r1": ("merge", "order", True, True),
+    "r2": ("s", "t", True, False),
+    "r3": (None, "c", True, True),      # open lower bound
+}
+
 # more-like-this contract set: source doc ids whose top tf·idf terms
 # seed a similarity query (Lucene MoreLikeThis role)
 MLT_DOCS = [7, 42, 123]
@@ -585,6 +619,82 @@ def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+class _SimpleAnalyzer:
+    """Simplified-tokenization analyzer shim (lower + [^a-z0-9]+ split)
+    for contract queries that run the REAL engine kernels in their
+    SQL-reproducible configuration (the q_phrase_match pattern)."""
+
+    import re as _re
+    _pat = _re.compile("[^a-z0-9]+")
+
+    def terms(self, text: str) -> list[str]:
+        return [t for t in self._pat.split((text or "").lower()) if t]
+
+
+def q_boolean_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped boolean retrieval through the FULL round-4 query path:
+    classic-QueryParser strings (parenthesized OR-groups, AND/OR/NOT —
+    queryparser.py) compiled onto the nested tree kernel
+    (querycompile.py -> operators/boolean.py::boolean_tree_topk) over a
+    real posting index built with the simplified tokenization.  Every
+    (qid, rank, doc_id, score) is value-matched by the DuckDB oracle:
+    group-hit candidate algebra + per-present-term BM25 sum, ranked by
+    the 4dp-rounded score with doc_id tie-break (both engines rank the
+    ROUNDED score, the q_bm25_topk convention)."""
+    from .engine import FulltextIndex
+    from .operators import fulltext as ft_ops
+    from .operators.postings import (corpus_stats_from_postings,
+                                     index_corpus,
+                                     term_stats_from_postings)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    shim = _SimpleAnalyzer()
+    # localCheckpoint, not cache: materialized once, shared by all four
+    # query branches, GC-released with the returned DataFrame (the
+    # q_phrase_match pattern) — and the whole entry stays collect-free
+    ids = ft_ops.with_doc_ids(docs, ["doc_id"])
+    postings = index_corpus(ids, "doc_id", "text", analyzer=shim) \
+        .localCheckpoint(eager=True)
+    tstats = term_stats_from_postings(postings) \
+        .localCheckpoint(eager=True)
+    avgdl = corpus_stats_from_postings(postings, n_docs)
+    idx = FulltextIndex(spark, postings, tstats, n_docs, avgdl,
+                        analyzer=shim)
+    out = None
+    for qid, q in GBOOL_QUERIES.items():
+        res = idx.query(q, k=1 << 20)       # full match set: rank after
+        m = res.select(F.lit(qid).alias("qid"), "doc_id",
+                       F.round("score", 4).alias("score"))
+        out = m if out is None else out.unionAll(m)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                          F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "rank", "doc_id", "score"))
+
+
+def q_range_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-range queries (Lucene TermRangeQuery role) on the sorted
+    term dictionary: inclusive/exclusive/open bounds — range predicates
+    are min/max-prunable on the sorted layout (the FST range-scan
+    role)."""
+    td = q_term_dict(spark, sf_dir)
+    out = None
+    for qid, (lo, hi, incl_lo, incl_hi) in RANGE_QUERIES.items():
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("term") >= lo if incl_lo
+                           else F.col("term") > lo)
+        if hi is not None:
+            cond = cond & (F.col("term") <= hi if incl_hi
+                           else F.col("term") < hi)
+        m = td.filter(cond).select(F.lit(qid).alias("qid"), "term_id",
+                                   "term", "df")
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (operators/textstats.py), JVM exprs."""
     from .operators.textstats import quality_score
@@ -729,6 +839,48 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_snippet_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR-OFFSET highlighting through the REAL offsets-enabled
+    positional index (round 4: positional_postings(store_offsets=True)
+    -> first_match_span): for each highlight query, the earliest
+    matching token per doc with its (start, end) char span and the
+    EXACT source substring.  Offsets here come from the stored index
+    blobs, not from re-scanning the text; DuckDB reconstructs them from
+    cumulative token lengths (the corpus is single-space-joined, so
+    start(i) = Σ(len+1) over preceding tokens)."""
+    import re
+
+    from .operators.positional import first_match_span, positional_postings
+
+    pat = re.compile("[a-z0-9]+")
+
+    def spans(text: str):
+        return [(m.group(0), m.start(), m.end())
+                for m in pat.finditer((text or "").lower())]
+
+    docs = _docs(spark, sf_dir)
+    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text", spans_fn=spans,
+                              store_offsets=True) \
+        .localCheckpoint(eager=True)
+    txt = docs.select("doc_id", "text")
+    out = None
+    for qid, terms in HIGHLIGHT_QUERIES.items():
+        fm = first_match_span(pos, terms)
+        m = (fm.join(txt, "doc_id")
+             .select(F.lit(qid).alias("qid"), "doc_id",
+                     F.col("first_pos").cast("long").alias("first_pos"),
+                     F.col("start").cast("long").alias("off_start"),
+                     F.col("end").cast("long").alias("off_end"),
+                     F.substring(
+                         F.col("text"),
+                         (F.col("start") + 1).cast("int"),
+                         (F.col("end") - F.col("start")).cast("int"))
+                     .alias("snippet")))
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row content sha256 (the input_hint invariant surfaced as a
     value-matched contract query; the build-time audit is
@@ -772,9 +924,12 @@ QUERIES = {
     "prefix_terms": q_prefix_terms,
     "fuzzy_terms": q_fuzzy_terms,
     "boolean": q_boolean,
+    "boolean_grouped": q_boolean_grouped,
+    "range_terms": q_range_terms,
     "mlt": q_mlt,
     "facet_source": q_facet_source,
     "highlight": q_highlight,
+    "snippet_offsets": q_snippet_offsets,
     "suggest": q_suggest,
     "quality_score": q_quality_score,
     "token_count": q_token_count,

@@ -1,0 +1,216 @@
+"""Compile a parsed Lucene query AST (queryparser.Bool/Atom) onto the
+engine kernels.
+
+Two-phase by necessity: dictionary-expansion clauses (fuzzy / prefix /
+wildcard / regex / range) need ONE Spark job over the term dictionary
+(operators/fulltext.py::expand_specs) before the tree is complete, so
+``compile_query`` returns a ``QueryPlan`` whose ``specs`` the caller
+expands, then ``finalize(expansions)`` yields:
+
+  tree       — hashable nested tuples for operators/boolean.py::
+               boolean_tree_topk:
+                 ("leaf", leaf_id, (term, ...))
+                 ("node", (must...), (should...), (not...), msm)
+  instances  — [(term, boost_product, leaf_id), ...]: one scoring
+               instance per positive-path leaf membership (Lucene: a
+               term present in two clauses scores once per clause;
+               leaves under a MUST_NOT never score)
+  phrases    — top-level phrase clauses [(occur, text, boost)];
+               nested phrases raise (documented: phrase constraints
+               combine relationally with the kernel output, which is
+               only defined at the root level)
+
+Occur algebra inside a level is Lucene BooleanQuery's; msm is baked
+into each node: nested levels use 1 when pure-SHOULD else 0; the root
+takes the caller's msm (with the pure-SHOULD floor) — or 0 when SHOULD
+phrases exist, because phrase matches count toward msm relationally
+AFTER the kernel (engine.FulltextIndex.query).
+
+Term atoms are analyzed with the index's chain; a MUST term whose
+analysis emits several tokens (WDGF camelCase) compiles to the
+conjunction of singleton leaves, a SHOULD/NOT term to ONE any-of leaf
+— the round-3 ``query()`` semantics, unchanged.  Field-scoped atoms
+map to the stored ``field\\x1fterm`` namespace (default field bare).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from .operators.fulltext import FIELD_SEP
+from .queryparser import Atom, Bool, MUST, MUST_NOT, SHOULD, \
+    wildcard_to_regex
+
+_NO_CAP = None
+
+
+@dataclass
+class _Leaf:
+    leaf_id: int
+    boost: float
+    terms: tuple = ()          # resolved index terms (term atoms)
+    spec_id: int | None = None  # expansion placeholder
+
+
+@dataclass
+class _Node:
+    must: list = dfield(default_factory=list)
+    should: list = dfield(default_factory=list)
+    nots: list = dfield(default_factory=list)
+    boost: float = 1.0
+
+
+@dataclass
+class QueryPlan:
+    root: _Node
+    specs: list
+    phrases: list               # [(occur, text, boost)]
+    msm: int
+    n_leaves: int
+
+    def finalize(self, expansions: list[list[tuple]]):
+        """expansions[i] = [(term, df, dist), ...] for specs[i] ->
+        (tree, instances).  Absent-vocabulary handling is structural:
+        an empty MUST leaf empties its node's match set in-kernel."""
+        instances: list[tuple] = []
+
+        def fin(node, boost_path, negative):
+            if isinstance(node, _Leaf):
+                terms = node.terms if node.spec_id is None else tuple(
+                    t for t, _, _ in expansions[node.spec_id])
+                if not negative:
+                    w = boost_path * node.boost
+                    for t in terms:
+                        instances.append((t, w, node.leaf_id))
+                return ("leaf", node.leaf_id, terms)
+            bp = boost_path * node.boost
+            must = tuple(fin(c, bp, negative) for c in node.must)
+            should = tuple(fin(c, bp, negative) for c in node.should)
+            nots = tuple(fin(c, bp, True) for c in node.nots)
+            if node is self.root:
+                msm = self.msm
+            else:
+                msm = 0 if node.must else 1
+            return ("node", must, should, nots, msm)
+
+        tree = fin(self.root, 1.0, False)
+        instances.sort()
+        return tree, instances
+
+
+def _prefixed(terms, fld, default_field):
+    if fld is None or fld == default_field:
+        return tuple(terms)
+    return tuple(f"{fld}{FIELD_SEP}{t}" for t in terms)
+
+
+def compile_query(ast: Bool, terms_of, default_field: str | None,
+                  msm: int = 0, max_expansions: int = 64,
+                  known_fields: set[str] | None = None) -> QueryPlan:
+    """AST -> QueryPlan.  ``terms_of``: text -> analyzed term list (the
+    index's chain).  ``known_fields``: validated when given — a typo'd
+    field should fail loudly, not silently match nothing."""
+    specs: list[dict] = []
+    phrases: list[tuple] = []
+    counter = {"leaf": 0}
+
+    def new_leaf(boost, terms=(), spec_id=None):
+        lf = _Leaf(counter["leaf"], boost, tuple(terms), spec_id)
+        counter["leaf"] += 1
+        return lf
+
+    def check_field(fld):
+        if fld is not None and known_fields is not None \
+                and fld not in known_fields:
+            raise ValueError(
+                f"unknown field {fld!r} (index fields: "
+                f"{sorted(known_fields)})")
+        return fld
+
+    def add_spec(kind, atom, negative, **kw):
+        specs.append({"kind": kind, "field": check_field(atom.field),
+                      "cap": _NO_CAP if negative else max_expansions,
+                      **kw})
+        return len(specs) - 1
+
+    def conv(node: Bool, depth: int, negative: bool):
+        out = _Node(boost=node.boost)
+        for occ, child in node.clauses:
+            neg = negative or occ == MUST_NOT
+            if isinstance(child, Bool):
+                sub = conv(child, depth + 1, neg)
+                if not (sub.must or sub.should or sub.nots):
+                    continue
+                _attach(out, occ, sub)
+                continue
+            a: Atom = child
+            if a.kind == "phrase":
+                if depth > 0:
+                    raise ValueError(
+                        f'phrase "{a.value}" inside a parenthesized '
+                        f"group is unsupported — phrase constraints "
+                        f"apply at the top level")
+                if a.field is not None and a.field != default_field:
+                    raise ValueError(
+                        f"field-scoped phrase {a.field}:\"{a.value}\" "
+                        f"is unsupported — the positional index covers "
+                        f"the default field")
+                phrases.append((occ, a.value, a.boost))
+                continue
+            if a.kind == "term":
+                terms = _prefixed(terms_of(a.value),
+                                  check_field(a.field), default_field)
+                if not terms:
+                    continue        # stopword-only atom drops (r3)
+                if occ == MUST and len(terms) > 1:
+                    sub = _Node()
+                    sub.must = [new_leaf(a.boost, (t,)) for t in terms]
+                    out.must.append(sub)
+                else:
+                    _attach(out, occ, new_leaf(a.boost, terms))
+                continue
+            if a.kind == "fuzzy":
+                base = terms_of(a.value) or [a.value.lower()]
+                for t in base:
+                    sid = add_spec("fuzzy", a, neg, value=t,
+                                   edits=a.edits)
+                    _attach(out, occ, new_leaf(a.boost, spec_id=sid))
+                continue
+            if a.kind == "prefix":
+                sid = add_spec("prefix", a, neg, value=a.value.lower())
+            elif a.kind == "wildcard":
+                sid = add_spec(
+                    "regex", a, neg,
+                    value=wildcard_to_regex(a.value.lower()))
+            elif a.kind == "regex":
+                sid = add_spec("regex", a, neg, value=a.value)
+            elif a.kind == "range":
+                sid = add_spec("range", a, neg, lo=a.lo, hi=a.hi,
+                               incl_lo=a.incl_lo, incl_hi=a.incl_hi)
+            else:
+                raise ValueError(f"unknown atom kind {a.kind!r}")
+            _attach(out, occ, new_leaf(a.boost, spec_id=sid))
+        return out
+
+    root = conv(ast, 0, False)
+    has_must = bool(root.must)
+    must_phr = any(o == MUST for o, _, _ in phrases)
+    should_phr = any(o == SHOULD for o, _, _ in phrases)
+    if should_phr:
+        root_msm = 0 if has_must else 0   # msm applied relationally
+    else:
+        root_msm = msm if has_must else max(msm, 1)
+    plan = QueryPlan(root, specs, phrases, root_msm, counter["leaf"])
+    plan.has_must = has_must
+    plan.must_phrases = must_phr
+    plan.should_phrases = should_phr
+    return plan
+
+
+def _attach(node: _Node, occ: str, child) -> None:
+    if occ == MUST:
+        node.must.append(child)
+    elif occ == MUST_NOT:
+        node.nots.append(child)
+    else:
+        node.should.append(child)

@@ -1,79 +1,316 @@
-"""Lucene-style query string parser (classic QueryParser subset).
+"""Lucene classic QueryParser — grammar-complete subset, AST output.
 
-A user of the reference's ecosystem types Lucene query syntax; this
-module compiles the common subset onto this engine's verified
-primitives (boolean group kernel, fuzzy/prefix/regex expansion, packed
-positional phrases):
+The reference ships Lucene's ANALYSIS side only (grep-verified: no query
+code anywhere under /root/reference/src); the query-string contract this
+module honors is Lucene's classic QueryParser syntax, which every user
+of the reference's ecosystem types on day one:
 
-    +term           MUST        -term          MUST_NOT
-    term            SHOULD      "exact phrase" phrase (positional index)
-    term~  term~1   fuzzy (default 2 edits)
-    prefi*          prefix      /rege.x/       whole-term regex
+    +term  -term  term          required / prohibited / optional
+    a AND b   a OR b   NOT a    conjunction operators (also && || !)
+    (a OR b) AND c              parenthesized sub-queries
+    field:term  field:(a b)     field-scoped atoms (multi-field index)
+    "exact phrase"              phrase (positional index)
+    term~  term~1               fuzzy (Levenshtein, default 2 edits)
+    prefi*  te?t  t*st          wildcard (trailing-* fast path; ?/* map
+                                to a whole-term regex over the dict)
+    /rege.x/                    whole-term regex
+    [a TO b]  {a TO b}          term range (inclusive / exclusive; * =
+                                open end)
+    term^2  "a b"^0.5  (...)^3  boosts
 
-Whitespace separates clauses; modifiers bind to the immediately
-following atom.  Execution semantics (documented divergences from
-classic QueryParser in FulltextIndex.query):
+AND/OR/NOT binding follows Lucene's QueryParserBase.addClause exactly
+(public Lucene source): with the default OR operator, ``a AND b OR c``
+yields ``+a +b c`` — AND promotes its left neighbor to MUST; OR leaves
+occurs unchanged.  With default_operator="AND" a bare clause is MUST and
+OR demotes its left neighbor to SHOULD.  Keywords are CASE-SENSITIVE
+(``and`` is a term, ``AND`` an operator) — Lucene semantics.
 
-* a bare term is analyzed; a MUST term whose analysis emits several
-  tokens (WDGF camelCase) becomes the conjunction of all of them,
-  a SHOULD term becomes ONE any-of group (so msm counts words, not
-  subword fragments);
-* fuzzy/prefix/regex clauses expand against the term dictionary
-  (bounded, df-descending for prefix/regex — Lucene's top-terms
-  rewrite) and form one any-of group;
-* phrases are FILTER clauses (+"..." required, -"..." excluded);
-  a SHOULD phrase raises — scoring msm over phrase sets needs doc-set
-  counting the group kernel does not do (explicit beats silent);
-* scoring: BM25 over every matched term clause; a pure-phrase query
-  ranks by total phrase match count.
+Documented divergences (execution, see FulltextIndex.query):
+* phrase slop (``"a b"~2``) is rejected with a clear error — the packed
+  positional kernel evaluates exact adjacency (graph positions);
+* fuzzy/prefix/regex/range clauses expand against the term dictionary
+  (positive clauses bounded df-descending — Lucene's top-terms rewrite;
+  NEGATIVE clauses expand unbounded, since exclusion needs the full
+  match set — Lucene's constant-score rewrite role);
+* backslash escaping is not implemented (no escape processing).
+
+The parser produces a tree of ``Bool`` / ``Atom`` nodes; compilation
+onto the engine kernels lives in engine.FulltextIndex.query.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dfield
 
-_CLAUSE = re.compile(
-    r'(?P<mod>[+-]?)'
-    r'(?:"(?P<phrase>[^"]*)"'
-    r'|/(?P<regex>[^/]+)/'
-    r'|(?P<body>\S+))')
-
-_FUZZY = re.compile(r'^(?P<t>.+?)~(?P<d>[0-2])?$')
+MUST = "MUST"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
 
 
 @dataclass(frozen=True)
-class Clause:
-    mod: str        # '' (SHOULD) | '+' (MUST) | '-' (MUST_NOT)
-    kind: str       # 'term' | 'phrase' | 'fuzzy' | 'prefix' | 'regex'
-    value: str
+class Atom:
+    """A leaf query: one term-ish unit.
+
+    kind: 'term' | 'phrase' | 'fuzzy' | 'prefix' | 'wildcard' | 'regex'
+          | 'range'
+    value: the text (term / phrase / regex source / prefix); for
+           'range', ``lo``/``hi`` hold the bounds (None = open end).
+    """
+    kind: str
+    value: str = ""
+    field: str | None = None
     edits: int = 0
+    lo: str | None = None
+    hi: str | None = None
+    incl_lo: bool = True
+    incl_hi: bool = True
+    boost: float = 1.0
 
 
-def parse(query: str) -> list[Clause]:
-    """Query string -> clause list.  Unterminated quotes raise."""
-    if query.count('"') % 2:
-        raise ValueError(f"unbalanced quotes in query: {query!r}")
-    out: list[Clause] = []
-    for m in _CLAUSE.finditer(query):
-        mod = m.group("mod")
-        if m.group("phrase") is not None:
-            if m.group("phrase").strip():
-                out.append(Clause(mod, "phrase", m.group("phrase").strip()))
+@dataclass(frozen=True)
+class Bool:
+    """A boolean node: (occur, child) clauses, Lucene BooleanQuery."""
+    clauses: tuple = ()          # tuple[(occur, Atom|Bool), ...]
+    boost: float = 1.0
+
+
+_TOKEN = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-(?=\S))
+  | (?P<field>[A-Za-z_][A-Za-z0-9_.]*:(?!\s))
+  | (?P<phrase>"[^"]*"(?:~(?P<slop>\d+))?)
+  | (?P<regex>/(?:[^/\\]|\\.)+/)
+  | (?P<range>[\[{][^\[\]{}]*?\s+TO\s+[^\[\]{}]*?[\]}])
+  | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
+  | (?P<word>[^\s()"^]+)
+""", re.X)
+
+_FUZZY_SUFFIX = re.compile(r"^(?P<t>.+?)~(?P<d>[0-2])?$")
+_RANGE_INNER = re.compile(
+    r"^(?P<open>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<close>[\]}])$")
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN.match(q, i)
+        if m is None:
+            raise ValueError(f"cannot tokenize query at {q[i:]!r}"
+                             + (' (unbalanced quote?)' if q[i] == '"'
+                                else ""))
+        i = m.end()
+        kind = m.lastgroup if m.lastgroup not in ("slop", "bval") \
+            else None
+        for k in ("ws", "lparen", "rparen", "and", "or", "not", "plus",
+                  "minus", "field", "phrase", "regex", "range", "boost",
+                  "word"):
+            if m.group(k) is not None:
+                kind = k
+                break
+        if kind == "ws":
             continue
-        if m.group("regex") is not None:
-            out.append(Clause(mod, "regex", m.group("regex")))
-            continue
-        body = m.group("body")
-        if body in ("+", "-"):          # dangling modifier
-            continue
-        fz = _FUZZY.match(body)
-        if fz:
-            d = fz.group("d")
-            out.append(Clause(mod, "fuzzy", fz.group("t"),
-                              int(d) if d else 2))
-        elif body.endswith("*") and len(body) > 1 and "*" not in body[:-1]:
-            out.append(Clause(mod, "prefix", body[:-1]))
-        else:
-            out.append(Clause(mod, "term", body))
+        out.append((kind, m.group(0)))
     return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]], default_operator: str):
+        self.toks = toks
+        self.i = 0
+        self.op_and = default_operator.upper() == "AND"
+
+    def peek(self) -> str | None:
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def take(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # ---- Lucene QueryParserBase.addClause occur algebra ----
+    def add_clause(self, clauses: list, conj: str | None,
+                   mods: str | None, node) -> None:
+        if clauses and conj == "AND":
+            occ, prev = clauses[-1]
+            if occ != MUST_NOT:
+                clauses[-1] = (MUST, prev)
+        if clauses and self.op_and and conj == "OR":
+            occ, prev = clauses[-1]
+            if occ != MUST_NOT:
+                clauses[-1] = (SHOULD, prev)
+        if node is None:
+            return
+        if not self.op_and:
+            prohibited = mods == "NOT"
+            required = mods == "REQ" or (conj == "AND" and not prohibited)
+        else:
+            prohibited = mods == "NOT"
+            required = not prohibited and conj != "OR"
+        occ = MUST_NOT if prohibited else (MUST if required else SHOULD)
+        clauses.append((occ, node))
+
+    def parse_bool(self, depth: int = 0) -> Bool:
+        clauses: list = []
+        while True:
+            k = self.peek()
+            if k is None:
+                break
+            if k == "rparen":
+                if depth == 0:
+                    raise ValueError("unbalanced ')' in query")
+                break
+            conj = None
+            if k in ("and", "or"):
+                conj = "AND" if k == "and" else "OR"
+                self.take()
+                k = self.peek()
+            mods = None
+            while k in ("not", "plus", "minus"):
+                mods = "NOT" if k in ("not", "minus") else "REQ"
+                self.take()
+                k = self.peek()
+            if k is None or k == "rparen":
+                # dangling modifier / trailing conjunction: ignored
+                if k == "rparen":
+                    break
+                break
+            node = self.parse_atom(depth)
+            self.add_clause(clauses, conj, mods, node)
+        return Bool(tuple(clauses))
+
+    def parse_atom(self, depth: int):
+        fld = None
+        k, v = self.take()
+        if k == "field":
+            fld = v[:-1]
+            if self.peek() is None:
+                return None
+            k, v = self.take()
+        if k == "lparen":
+            sub = self.parse_bool(depth + 1)
+            if self.peek() != "rparen":
+                raise ValueError("unbalanced '(' in query")
+            self.take()
+            sub = self._with_boost(sub)
+            if fld is not None:
+                sub = _scope_field(sub, fld)
+            return sub if sub.clauses else None
+        if k == "phrase":
+            m = re.match(r'^"(?P<p>[^"]*)"(?:~(?P<slop>\d+))?$', v)
+            if m.group("slop") is not None:
+                raise ValueError(
+                    f"phrase slop (~{m.group('slop')}) is unsupported — "
+                    f"the positional kernel evaluates exact adjacency")
+            p = m.group("p").strip()
+            if not p:
+                return None
+            return self._with_boost(Atom("phrase", p, field=fld))
+        if k == "regex":
+            return self._with_boost(Atom("regex", v[1:-1], field=fld))
+        if k == "range":
+            m = _RANGE_INNER.match(v)
+            if not m:
+                raise ValueError(f"cannot parse range {v!r}")
+            lo = None if m.group("lo") == "*" else m.group("lo").lower()
+            hi = None if m.group("hi") == "*" else m.group("hi").lower()
+            return self._with_boost(Atom(
+                "range", field=fld, lo=lo, hi=hi,
+                incl_lo=m.group("open") == "[",
+                incl_hi=m.group("close") == "]"))
+        if k == "word":
+            if v in ("-", "+"):
+                return None         # dangling modifier: ignored
+            fz = _FUZZY_SUFFIX.match(v)
+            if fz and "*" not in v and "?" not in v:
+                d = fz.group("d")
+                return self._with_boost(Atom(
+                    "fuzzy", fz.group("t"), field=fld,
+                    edits=int(d) if d else 2))
+            if v.endswith("*") and len(v) > 1 \
+                    and "*" not in v[:-1] and "?" not in v:
+                return self._with_boost(Atom("prefix", v[:-1], field=fld))
+            if ("*" in v or "?" in v) and v not in ("*", "?"):
+                return self._with_boost(Atom("wildcard", v, field=fld))
+            return self._with_boost(Atom("term", v, field=fld))
+        raise ValueError(f"unexpected {v!r} in query")
+
+    def _with_boost(self, node):
+        if self.peek() == "boost":
+            _, v = self.take()
+            b = float(v[1:])
+            if isinstance(node, Atom):
+                return Atom(node.kind, node.value, node.field, node.edits,
+                            node.lo, node.hi, node.incl_lo, node.incl_hi,
+                            node.boost * b)
+            return Bool(node.clauses, node.boost * b)
+        return node
+
+
+def _scope_field(node, fld: str):
+    """Apply ``field:(...)`` scoping: every default-field leaf inside the
+    group gets the field (explicit inner fields win — Lucene)."""
+    if isinstance(node, Atom):
+        if node.field is None:
+            return Atom(node.kind, node.value, fld, node.edits, node.lo,
+                        node.hi, node.incl_lo, node.incl_hi, node.boost)
+        return node
+    return Bool(tuple((occ, _scope_field(c, fld)) for occ, c in
+                      node.clauses), node.boost)
+
+
+def parse_query(q: str, default_operator: str = "OR") -> Bool:
+    """Query string -> ``Bool`` AST.  Raises ValueError on unbalanced
+    quotes/parens, phrase slop, or untokenizable input."""
+    if q.count('"') % 2:
+        raise ValueError(f"unbalanced quotes in query: {q!r}")
+    p = _Parser(_lex(q), default_operator)
+    tree = p.parse_bool(0)
+    if p.peek() is not None:
+        raise ValueError("unbalanced ')' in query")
+    return tree
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery -> whole-term regex source: ``*`` -> ``.*``,
+    ``?`` -> ``.``, everything else literal."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def tree_stats(node) -> dict:
+    """Structural facts the compiler fast-path needs: depth, boosts,
+    fields, phrase placement."""
+    stats = {"max_depth": 0, "has_boost": False, "fields": set(),
+             "nested_phrase": False}
+
+    def walk(n, depth):
+        stats["max_depth"] = max(stats["max_depth"], depth)
+        if isinstance(n, Atom):
+            if n.boost != 1.0:
+                stats["has_boost"] = True
+            if n.field is not None:
+                stats["fields"].add(n.field)
+            if n.kind == "phrase" and depth > 1:
+                stats["nested_phrase"] = True
+            return
+        if n.boost != 1.0 and depth > 0:
+            stats["has_boost"] = True
+        for _, c in n.clauses:
+            walk(c, depth + 1)
+
+    walk(node, 0)
+    return stats

@@ -143,20 +143,43 @@ class IcebergResumableIndexBuild:
         every posting row is an orphan of crashed chunk 0 -> delete all."""
         if not table_exists(self.spark, self.postings_tbl):
             return
-        lineage_rows = []
+        lineage_sids: set[int] = set()
         if table_exists(self.spark, self.lineage_tbl):
-            lineage_rows = (self.spark.table(self.lineage_tbl)
-                            .select("snapshot_id", "finished_at").collect())
-        if not lineage_rows:
+            lineage_sids = {
+                int(r["snapshot_id"]) for r in
+                self.spark.table(self.lineage_tbl)
+                .select("snapshot_id").collect()}
+        if not lineage_sids:
             self.spark.sql(f"DELETE FROM {self.postings_tbl} WHERE true")
             return
-        last_sid = max(lineage_rows,
-                       key=lambda r: r["finished_at"])["snapshot_id"]
-        if current_snapshot_id(self.spark, self.postings_tbl) != last_sid:
+        # Rollback target = the NEAREST ancestor of the current snapshot
+        # that lineage recorded, found by walking the snapshot parent
+        # chain — a commit-order key the table itself maintains.  The
+        # round-3 version picked max(finished_at), a wall-clock float
+        # stamped driver-side: clock skew or equal stamps across
+        # crashed/resumed sessions could select the wrong snapshot and
+        # roll back a legitimately committed chunk (r3 ADVICE item 3).
+        parents = {
+            int(r["snapshot_id"]):
+                (int(r["parent_id"]) if r["parent_id"] is not None
+                 else None)
+            for r in self.spark.sql(
+                f"SELECT snapshot_id, parent_id "
+                f"FROM {self.postings_tbl}.snapshots").collect()}
+        sid = current_snapshot_id(self.spark, self.postings_tbl)
+        cur = sid
+        while cur is not None and cur not in lineage_sids:
+            cur = parents.get(cur)
+        if cur is None:
+            # no recorded ancestor on the current branch: every commit
+            # is an orphan of crashed chunks -> drop all rows
+            self.spark.sql(f"DELETE FROM {self.postings_tbl} WHERE true")
+            return
+        if cur != sid:
             catalog, tbl = self.postings_tbl.split(".", 1)
             self.spark.sql(
                 f"CALL {catalog}.system.rollback_to_snapshot"
-                f"('{tbl}', {int(last_sid)})")
+                f"('{tbl}', {int(cur)})")
 
     def run(self, docs: DataFrame, order_cols: list[str],
             fail_after_chunks: int | None = None,

@@ -252,3 +252,84 @@ def test_possessive_stripped_mid_token():
     assert [p[0] for p in split_word("O'Neil's")] == ["O", "Neil"]
     # curly apostrophe is NOT the reference's possessive marker
     assert [p[0] for p in split_word("Bob’s")] == ["Bob", "s"]
+
+
+# ------------------------------------------------- WDGF flags (round 4)
+def test_wdgf_catenate_words():
+    from php_lucene_analyzer_spark.analysis.tokenizer import Token
+    from php_lucene_analyzer_spark.analysis.word_delimiter import (
+        CATENATE_WORDS, GENERATE_WORD_PARTS, SPLIT_ON_CASE_CHANGE,
+        SPLIT_ON_NUMERICS, STEM_ENGLISH_POSSESSIVE, word_delimiter_graph)
+
+    flags = (GENERATE_WORD_PARTS | CATENATE_WORDS | SPLIT_ON_CASE_CHANGE
+             | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE)
+    toks = word_delimiter_graph(
+        [Token("wi-fi", 0, 5, 1, 1, "<ALPHANUM>")], flags=flags)
+    got = [(t.term, t.pos_inc, t.pos_len, t.start, t.end) for t in toks]
+    assert got == [("wifi", 1, 2, 0, 5),
+                   ("wi", 0, 1, 0, 2),
+                   ("fi", 1, 1, 3, 5)]
+
+
+def test_wdgf_catenate_numbers_and_all():
+    from php_lucene_analyzer_spark.analysis.tokenizer import Token
+    from php_lucene_analyzer_spark.analysis.word_delimiter import (
+        CATENATE_ALL, CATENATE_NUMBERS, DEFAULT_FLAGS, word_delimiter_graph)
+
+    toks = word_delimiter_graph(
+        [Token("500-42", 0, 6, 1, 1, "<NUM>")],
+        flags=DEFAULT_FLAGS | CATENATE_NUMBERS)
+    terms = [t.term for t in toks]
+    assert terms == ["500-42", "50042", "500", "42"]
+    cat = next(t for t in toks if t.term == "50042")
+    assert cat.pos_len == 2 and (cat.start, cat.end) == (0, 6)
+
+    toks = word_delimiter_graph(
+        [Token("wi-fi-4000", 0, 10, 1, 1, "<ALPHANUM>")],
+        flags=DEFAULT_FLAGS | CATENATE_ALL)
+    terms = [t.term for t in toks]
+    assert terms == ["wi-fi-4000", "wifi4000", "wi", "fi", "4000"]
+    cat = next(t for t in toks if t.term == "wifi4000")
+    assert cat.pos_len == 3
+
+
+def test_wdgf_catenate_words_skips_numbers():
+    from php_lucene_analyzer_spark.analysis.tokenizer import Token
+    from php_lucene_analyzer_spark.analysis.word_delimiter import (
+        CATENATE_WORDS, DEFAULT_FLAGS, word_delimiter_graph)
+
+    toks = word_delimiter_graph(
+        [Token("wi-fi-4000-ac", 0, 13, 1, 1, "<ALPHANUM>")],
+        flags=DEFAULT_FLAGS | CATENATE_WORDS)
+    terms = [t.term for t in toks]
+    # only the ADJACENT word run catenates; 4000 breaks it and the
+    # trailing single-part run ("ac") emits no 1-part catenation
+    assert "wifi" in terms and "wifi4000ac" not in terms \
+        and "fiac" not in terms and "wifiac" not in terms
+
+
+def test_wdgf_custom_char_type_table():
+    from php_lucene_analyzer_spark.analysis.tokenizer import Token
+    from php_lucene_analyzer_spark.analysis.word_delimiter import (
+        CHAR_LOWER, DEFAULT_FLAGS, word_delimiter_graph)
+
+    # a charTypeTable that declares '-' a letter: no split happens
+    keep_dash = lambda ch: CHAR_LOWER if ch == "-" else None
+    toks = word_delimiter_graph(
+        [Token("wi-fi", 0, 5, 1, 1, "<ALPHANUM>")],
+        flags=DEFAULT_FLAGS, char_type_fn=keep_dash)
+    assert [t.term for t in toks] == ["wi-fi"]
+
+
+def test_wdgf_default_flags_unchanged():
+    """The flags parameter must not disturb the reference-forced default
+    path (golden parity depends on it)."""
+    from php_lucene_analyzer_spark.analysis.tokenizer import Token
+    from php_lucene_analyzer_spark.analysis.word_delimiter import (
+        DEFAULT_FLAGS, word_delimiter_graph)
+
+    t = [Token("PowerShot", 0, 9, 1, 1, "<ALPHANUM>")]
+    a = [(x.term, x.pos_inc, x.pos_len) for x in word_delimiter_graph(t)]
+    b = [(x.term, x.pos_inc, x.pos_len)
+         for x in word_delimiter_graph(t, flags=DEFAULT_FLAGS)]
+    assert a == b == [("PowerShot", 1, 2), ("Power", 0, 1), ("Shot", 1, 1)]

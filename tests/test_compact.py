@@ -134,6 +134,81 @@ def test_facade_compact_covers_positional_and_caches_tstats(spark, docs):
     idx.close()
 
 
+def test_compact_interleaved_doc_ranges(spark, docs):
+    """Buckets are doc-SET disjoint, not doc-RANGE disjoint: two flushes
+    of one doc-UNORDERED partition interleave doc ranges (index_corpus
+    explicitly tolerates unordered partition input).  Compaction must
+    re-sort each term's concatenated postings — first_doc-ordered
+    concatenation alone is non-monotonic here and the uint64 gap encode
+    would silently wrap, corrupting WAND results (round-3 ADVICE)."""
+    from php_lucene_analyzer_spark.operators.postings import index_corpus
+
+    sub = (docs.filter("doc_id < 120").select("doc_id", "text")
+           .coalesce(1)
+           .sortWithinPartitions(F.hash("doc_id")))  # scrambled doc order
+    frag = index_corpus(sub, "doc_id", "text", flush_postings=300).cache()
+    ext = (frag.groupBy("rbucket")
+           .agg(F.min("first_doc").alias("lo"),
+                F.max("last_doc").alias("hi"))
+           .orderBy("lo").collect())
+    # precondition: the hazardous layout actually occurred
+    assert len(ext) > 1
+    assert any(prev["hi"] > cur["lo"] for prev, cur in zip(ext, ext[1:]))
+    tstats = term_stats_from_postings(frag).cache()
+    n = 120
+    avgdl = float(frag.agg(F.sum("sum_tf")).collect()[0][0]) / n
+    comp = compact_postings(frag).cache()
+    sa = {r["term"]: (r["df"], r["cf"])
+          for r in term_stats_from_postings(comp).collect()}
+    sb = {r["term"]: (r["df"], r["cf"]) for r in tstats.collect()}
+    assert sa == sb
+    for query in QUERIES:
+        a = wand_topk(frag, tstats, n, avgdl, query).collect()
+        b = wand_topk(comp, tstats, n, avgdl, query).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] \
+            == [(r["doc_id"], r["score"]) for r in b]
+    frag.unpersist(); tstats.unpersist(); comp.unpersist()
+
+
+def test_compact_positional_interleaved_doc_ranges(spark, docs):
+    """Same hazard for the positional layout: interleaved bucket doc
+    ranges must be re-sorted (docs AND per-doc position slices gathered
+    along) before re-encoding."""
+    import re
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        compact_positional, phrase_match, positional_postings)
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text):
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    sub = (docs.filter("doc_id < 120").select("doc_id", "text")
+           .coalesce(1)
+           .sortWithinPartitions(F.hash("doc_id")))
+    frag = positional_postings(sub, "doc_id", "text",
+                               terms_fn=simple_terms,
+                               flush_positions=300).cache()
+    ext = (frag.groupBy("rbucket")
+           .agg(F.min("first_doc").alias("lo"),
+                F.max("last_doc").alias("hi"))
+           .orderBy("lo").collect())
+    assert len(ext) > 1
+    assert any(prev["hi"] > cur["lo"] for prev, cur in zip(ext, ext[1:]))
+    comp = compact_positional(frag).cache()
+    t0 = simple_terms(docs.filter("doc_id = 0").collect()[0]["text"])
+    for phrase in (" ".join(t0[:2]), " ".join(t0[:3])):
+        a = sorted((r["doc_id"], r["n_matches"]) for r in
+                   phrase_match(frag, phrase, terms_fn=simple_terms)
+                   .collect())
+        b = sorted((r["doc_id"], r["n_matches"]) for r in
+                   phrase_match(comp, phrase, terms_fn=simple_terms)
+                   .collect())
+        assert a == b and a
+    frag.unpersist(); comp.unpersist()
+
+
 def test_small_target_packs_multiple_groups(fragmented):
     """A small target yields multiple doc-disjoint groups in range
     order."""

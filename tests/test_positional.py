@@ -213,3 +213,122 @@ def test_positional_flush_identical_phrases(spark):
         assert a == b and a
     small.unpersist()
     big.unpersist()
+
+
+# ------------------------------------------------------- char offsets (r4)
+def test_offsets_roundtrip_simple(spark, docs):
+    """store_offsets=True: first_match_span returns the exact char span
+    of the earliest matching token — verified against re.finditer on
+    the source text (brute force)."""
+    import re
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        first_match_span, positional_postings)
+
+    pat = re.compile("[a-z0-9]+")
+
+    def spans(text):
+        return [(m.group(0), m.start(), m.end())
+                for m in pat.finditer((text or "").lower())]
+
+    sub = docs.filter("doc_id < 150").select("doc_id", "text")
+    pos = positional_postings(sub.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text", spans_fn=spans,
+                              store_offsets=True).cache()
+    terms = ["merge", "stream"]
+    got = {r["doc_id"]: (r["first_pos"], r["start"], r["end"])
+           for r in first_match_span(pos, terms).collect()}
+    want = {}
+    for row in sub.collect():
+        best = None
+        for i, (t, s, e) in enumerate(spans(row["text"])):
+            if t in terms and (best is None or i < best[0]):
+                best = (i, s, e)
+        if best:
+            want[row["doc_id"]] = best
+    assert got == want and got
+    # spans slice back to a query term
+    texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+    for d, (_, s, e) in got.items():
+        assert texts[d][s:e].lower() in terms
+    pos.unpersist()
+
+
+def test_offsets_full_chain_and_compaction(spark, docs):
+    """Full-chain offsets (Token.start/end through WDGF/stop/stem) slice
+    real source text; compaction preserves spans bit-for-bit."""
+    from php_lucene_analyzer_spark.analysis import analyze
+    from php_lucene_analyzer_spark.operators.positional import (
+        compact_positional, first_match_span, positional_postings)
+
+    sub = docs.filter("doc_id < 100").select("doc_id", "text")
+    pos = positional_postings(sub.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text",
+                              store_offsets=True,
+                              flush_positions=500).cache()
+    terms = ["fast", "merg"]   # post-stem vocabulary
+    got = {r["doc_id"]: (r["first_pos"], r["start"], r["end"])
+           for r in first_match_span(pos, terms).collect()}
+    # brute force over the chain's token graph
+    want = {}
+    for row in sub.collect():
+        p = -1
+        best = None
+        for t in analyze(row["text"] or ""):
+            p += t.pos_inc
+            if t.term in terms:
+                cand = (p, t.start, t.end)
+                if best is None or cand < best:
+                    best = cand
+        if best:
+            want[row["doc_id"]] = best
+    assert got == want and got
+    comp = compact_positional(pos).cache()
+    got_c = {r["doc_id"]: (r["first_pos"], r["start"], r["end"])
+             for r in first_match_span(comp, terms).collect()}
+    assert got_c == got
+    # offset-less queries still work on the offsets layout
+    from php_lucene_analyzer_spark.operators.positional import phrase_match
+    a = sorted((r["doc_id"], r["n_matches"])
+               for r in phrase_match(pos, "fast merge").collect())
+    b = sorted((r["doc_id"], r["n_matches"])
+               for r in phrase_match(comp, "fast merge").collect())
+    assert a == b
+    pos.unpersist(); comp.unpersist()
+
+
+def test_engine_snippets(spark, docs):
+    """FulltextIndex.build(offsets=True) -> snippets(): the returned
+    text window contains the matched token at the stated span."""
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+
+    sub = docs.filter("doc_id < 80").select("doc_id", "text")
+    idx = FulltextIndex.build(spark, sub, ["doc_id"], text_col="text",
+                              positional=True, offsets=True)
+    try:
+        rows = idx.snippets("merge stream", sub, id_col="doc_id",
+                            text_col="text", pad=10).collect()
+        assert rows
+        texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+        from php_lucene_analyzer_spark.analysis.porter2 import stem
+        qterms = set(idx._terms("merge stream"))
+        for r in rows:
+            tok = texts[r["doc_id"]][r["start"]:r["end"]]
+            assert stem(tok.lower()) in qterms
+            assert tok.lower() in r["snippet"].lower()
+    finally:
+        idx.close()
+
+
+def test_offsetless_index_raises_on_span_query(spark, docs):
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+
+    sub = docs.filter("doc_id < 20").select("doc_id", "text")
+    idx = FulltextIndex.build(spark, sub, ["doc_id"], text_col="text",
+                              positional=True)
+    try:
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            idx.snippet_spans("merge").collect()
+    finally:
+        idx.close()

@@ -1,38 +1,109 @@
 """Query-string parser (queryparser.py) and FulltextIndex.query:
-clause extraction, and execution equivalence against the individually
-verified primitives (boolean kernel, prefix/fuzzy expansion, phrases)."""
+classic-Lucene grammar (occur algebra, grouping, fields, ranges,
+boosts), and execution equivalence against the individually verified
+primitives (boolean kernel, prefix/fuzzy expansion, phrases)."""
 
 import pytest
 
 from php_lucene_analyzer_spark.engine import FulltextIndex
-from php_lucene_analyzer_spark.queryparser import Clause, parse
+from php_lucene_analyzer_spark.queryparser import (
+    Atom, Bool, MUST, MUST_NOT, SHOULD, parse_query, wildcard_to_regex)
+
+
+def _occ_kinds(tree):
+    return [(occ, c.kind if isinstance(c, Atom) else "bool", getattr(
+        c, "value", None)) for occ, c in tree.clauses]
 
 
 # ---------------------------------------------------------------- parser
 def test_parse_all_clause_kinds():
-    got = parse('+fast -slow stream "merge join" +"a b" -"c d" '
-                'stram~ valu~1 mer* /st.*m/')
-    assert got == [
-        Clause("+", "term", "fast"),
-        Clause("-", "term", "slow"),
-        Clause("", "term", "stream"),
-        Clause("", "phrase", "merge join"),
-        Clause("+", "phrase", "a b"),
-        Clause("-", "phrase", "c d"),
-        Clause("", "fuzzy", "stram", 2),
-        Clause("", "fuzzy", "valu", 1),
-        Clause("", "prefix", "mer"),
-        Clause("", "regex", "st.*m"),
+    t = parse_query('+fast -slow stream "merge join" +"a b" -"c d" '
+                    'stram~ valu~1 mer* /st.*m/ te?t [m TO q} x^2')
+    assert _occ_kinds(t) == [
+        (MUST, "term", "fast"),
+        (MUST_NOT, "term", "slow"),
+        (SHOULD, "term", "stream"),
+        (SHOULD, "phrase", "merge join"),
+        (MUST, "phrase", "a b"),
+        (MUST_NOT, "phrase", "c d"),
+        (SHOULD, "fuzzy", "stram"),
+        (SHOULD, "fuzzy", "valu"),
+        (SHOULD, "prefix", "mer"),
+        (SHOULD, "regex", "st.*m"),
+        (SHOULD, "wildcard", "te?t"),
+        (SHOULD, "range", ""),
+        (SHOULD, "term", "x"),
     ]
+    fuzz = [c for _, c in t.clauses if c.kind == "fuzzy"]
+    assert [f.edits for f in fuzz] == [2, 1]
+    rng = next(c for _, c in t.clauses if c.kind == "range")
+    assert (rng.lo, rng.hi, rng.incl_lo, rng.incl_hi) \
+        == ("m", "q", True, False)
+    assert t.clauses[-1][1].boost == 2.0
 
 
-def test_parse_edge_cases():
+def test_parse_occur_algebra_lucene():
+    # the classic gotcha: with default OR, AND promotes its left
+    # neighbor — a AND b OR c == +a +b c
+    t = parse_query("a AND b OR c")
+    assert [(o, c.value) for o, c in t.clauses] \
+        == [(MUST, "a"), (MUST, "b"), (SHOULD, "c")]
+    t = parse_query("a OR b AND c")
+    assert [(o, c.value) for o, c in t.clauses] \
+        == [(SHOULD, "a"), (MUST, "b"), (MUST, "c")]
+    t = parse_query("a AND NOT b")
+    assert [(o, c.value) for o, c in t.clauses] \
+        == [(MUST, "a"), (MUST_NOT, "b")]
+    t = parse_query("NOT a")
+    assert [(o, c.value) for o, c in t.clauses] == [(MUST_NOT, "a")]
+    t = parse_query("a && b || !c")
+    assert [(o, c.value) for o, c in t.clauses] \
+        == [(MUST, "a"), (MUST, "b"), (MUST_NOT, "c")]
+    # keywords are case-sensitive: lowercase 'and' is a term
+    t = parse_query("a and b")
+    assert [(o, c.value) for o, c in t.clauses] \
+        == [(SHOULD, "a"), (SHOULD, "and"), (SHOULD, "b")]
+
+
+def test_parse_default_operator_and():
+    t = parse_query("a b", default_operator="AND")
+    assert [(o, c.value) for o, c in t.clauses] \
+        == [(MUST, "a"), (MUST, "b")]
+    t = parse_query("a OR b", default_operator="AND")
+    assert [(o, c.value) for o, c in t.clauses] \
+        == [(SHOULD, "a"), (SHOULD, "b")]
+
+
+def test_parse_grouping_fields_boosts():
+    t = parse_query('title:(a OR b^2)^3 AND body.x:c')
+    (o1, g), (o2, c) = t.clauses
+    assert o1 == MUST and isinstance(g, Bool) and g.boost == 3.0
+    assert [(o, a.field, a.value, a.boost) for o, a in g.clauses] \
+        == [(SHOULD, "title", "a", 1.0), (SHOULD, "title", "b", 2.0)]
+    assert o2 == MUST and c.field == "body.x" and c.value == "c"
+    # nested parens
+    t = parse_query("((a OR b) AND c) d")
+    (o1, g), (o2, d) = t.clauses
+    assert o1 == SHOULD and isinstance(g, Bool)
+    inner = g.clauses[0][1]
+    assert isinstance(inner, Bool) and g.clauses[0][0] == MUST
+
+
+def test_parse_errors_and_edges():
     with pytest.raises(ValueError):
-        parse('broken "quote')
-    assert parse("+ -") == []          # dangling modifiers
-    assert parse('""') == []           # empty phrase
-    assert parse("a*b") == [Clause("", "term", "a*b")]  # mid-token *
-    assert parse("*") == [Clause("", "term", "*")]
+        parse_query('broken "quote')
+    with pytest.raises(ValueError):
+        parse_query('"a b"~2')           # slop unsupported
+    with pytest.raises(ValueError):
+        parse_query("(a OR b")           # unbalanced paren
+    with pytest.raises(ValueError):
+        parse_query("a) b")
+    assert parse_query("+ -").clauses == ()
+    assert parse_query('""').clauses == ()
+    t = parse_query("a*b")               # mid-token * is a wildcard now
+    assert t.clauses[0][1].kind == "wildcard"
+    assert wildcard_to_regex("a*b?c.") == "a.*b.c\\."
+    assert parse_query("*").clauses[0][1].kind == "term"
 
 
 # ------------------------------------------------------------- execution
@@ -59,6 +130,11 @@ def test_query_should_and_not(idx):
                                     must_not=["slow"], k=8))
 
 
+def test_query_and_operator_equals_must(idx):
+    assert _rows(idx.query("fast AND stream", k=8)) \
+        == _rows(idx.query("+fast +stream", k=8))
+
+
 def test_query_prefix_equals_prefix_topk(idx):
     got = _rows(idx.query("mer*", k=6))
     want = _rows(idx.search_prefix("mer", k=6))
@@ -74,6 +150,12 @@ def test_query_fuzzy_equals_search_fuzzy(idx):
 def test_query_regex_equals_search_regex(idx):
     got = _rows(idx.query("/st.*m/", k=6))
     want = _rows(idx.search_regex("st.*m", k=6))
+    assert got == want and got
+
+
+def test_query_wildcard_equals_regex(idx):
+    got = _rows(idx.query("st?eam", k=6))
+    want = _rows(idx.search_regex("st.eam", k=6))
     assert got == want and got
 
 
@@ -101,14 +183,43 @@ def test_query_phrase_filters_term_results(idx, docs):
     phrase_docs = {r["doc_id"] for r in idx.phrase(phrase).collect()}
     base = _rows(idx.search_boolean(must=["value"], k=10_000))
     want = [(d, s) for d, s in base if d in phrase_docs][:50]
-    # same docs, same scores, same order
     assert got == sorted(want, key=lambda x: (-x[1], x[0]))
     assert all(d in phrase_docs for d, _ in got)
 
 
-def test_query_should_phrase_raises(idx):
-    with pytest.raises(ValueError):
-        idx.query('"fast merge" value')
+def test_query_should_phrase_scores_and_counts(idx, docs):
+    """SHOULD phrases participate in scoring + msm (round-4: replaces
+    the r3 hard error).  Contribution = Σidf(phrase terms) x BM25
+    saturation of the match count (documented formula)."""
+    import math
+    import re
+    toks = [t for t in re.split(r"[^a-zA-Z0-9]+",
+                                docs.filter("doc_id = 3")
+                                .collect()[0]["text"]) if t][:2]
+    phrase = " ".join(toks)
+    from php_lucene_analyzer_spark.operators.fulltext import K1, idf
+    got = {r["doc_id"]: r["score"]
+           for r in idx.query(f'"{phrase}" value', k=10_000).collect()}
+    pm = {r["doc_id"]: r["n_matches"]
+          for r in idx.phrase(phrase).collect()}
+    base = dict(_rows(idx.search_boolean(should=["value"], k=10_000)))
+    dfs = {r["term"]: r["df"] for r in idx.tstats.collect()}
+    w_p = sum(idf(idx.n_docs, dfs[t]) for t in idx._terms(phrase)
+              if t in dfs)
+    want = {}
+    for d in set(base) | set(pm):
+        s = base.get(d, 0.0)
+        if d in pm:
+            n = pm[d]
+            s = s + w_p * n * (K1 + 1.0) / (n + K1)
+        want[d] = s
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    # msm=2 requires BOTH the phrase and the term
+    strict = {r["doc_id"] for r in
+              idx.query(f'"{phrase}" value', k=10_000, msm=2).collect()}
+    assert strict == {d for d in pm if d in base}
 
 
 def test_query_unknown_must_expansion_is_empty(idx):
@@ -119,3 +230,25 @@ def test_query_unknown_must_expansion_is_empty(idx):
 def test_query_empty_or_stopwords_is_empty(idx):
     assert idx.query("", k=5).count() == 0
     assert idx.query("the and of", k=5).count() == 0
+
+
+def test_query_unknown_field_raises(idx):
+    with pytest.raises(ValueError):
+        idx.query("title:fast", k=5)
+
+
+def test_query_one_expansion_job(idx, monkeypatch):
+    """EVERY dictionary expansion of a query runs in ONE Spark job
+    (r3 VERDICT item 2: round trips dominate serving latency)."""
+    import php_lucene_analyzer_spark.operators.fulltext as ftmod
+    calls = []
+    real = ftmod.expand_specs
+
+    def counting(*a, **kw):
+        calls.append(len(a[1]))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ftmod, "expand_specs", counting)
+    idx.query("stram~ mer* /st.*m/ [m TO n] -zz* +value", k=5).collect()
+    assert len(calls) == 1          # one job for all five expansions
+    assert calls[0] == 5
