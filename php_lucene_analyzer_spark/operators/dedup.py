@@ -99,16 +99,73 @@ def _fold_min_signatures(hashes: np.ndarray, offsets: np.ndarray,
              * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
     nonempty = offsets[:-1] < offsets[1:]
     starts = offsets[:-1][nonempty]
+    buf = np.empty_like(hashes)
+    shf = np.empty_like(hashes)
     for hi in range(n_hashes):
-        v = hashes * mults[hi]
-        v ^= v >> np.uint64(31)
-        out[nonempty, hi] = np.minimum.reduceat(v, starts)
+        # out= buffers: 2 allocations total instead of 2 per hash
+        # function (the fold is memory-traffic-bound)
+        np.multiply(hashes, mults[hi], out=buf)
+        np.right_shift(buf, np.uint64(31), out=shf)
+        np.bitwise_xor(buf, shf, out=buf)
+        out[nonempty, hi] = np.minimum.reduceat(buf, starts)
+    return out
+
+
+def _oph_signatures(hashes: np.ndarray, offsets: np.ndarray,
+                    n_hashes: int) -> np.ndarray:
+    """ONE-PERMUTATION minhash (Li/Owen/Zhang 2012) with rotation
+    densification (Shrivastava/Li 2014): a single pass bins each
+    shingle hash by its top bits and takes the min per (doc, bin) —
+    O(instances) instead of the k-fold's O(n_hashes x instances), the
+    asymptotic winner at 100 TB where the fold is memory-bandwidth
+    bound (BENCH/sig_bench.py).  Empty bins borrow the value of the
+    next non-empty bin (cyclic) + bin index so the estimator stays
+    usable for short docs; all-empty docs keep the all-max sentinel.
+    ``n_hashes`` must be a power of two."""
+    n_docs = offsets.size - 1
+    out = np.full((n_docs, n_hashes), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    if hashes.size == 0:
+        return out
+    bin_bits = int(n_hashes).bit_length() - 1
+    assert (1 << bin_bits) == n_hashes, "n_hashes must be a power of two"
+    lens = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    bins = (hashes >> np.uint64(64 - bin_bits)).astype(np.int64)
+    key = doc_of * n_hashes + bins
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    sv = hashes[order]
+    starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+    mins = np.minimum.reduceat(sv, starts)
+    out.reshape(-1)[sk[starts]] = mins
+    # rotation densification: empty bins take the next non-empty bin's
+    # value (cyclic) xor-mixed with the rotation distance, so two docs
+    # that share only their (sparse) filled bins don't spuriously agree
+    # on every borrowed bin position
+    sentinel = np.iinfo(np.uint64).max
+    nonempty_doc = np.zeros(n_docs, dtype=bool)
+    nonempty_doc[doc_of] = True
+    rows = np.flatnonzero(nonempty_doc)
+    sub = out[rows]
+    empty = sub == sentinel
+    if empty.any():
+        for shift in range(1, n_hashes):
+            src = np.roll(sub, -shift, axis=1)
+            fill = empty & (src != sentinel)
+            if fill.any():
+                sub[fill] = src[fill] ^ np.uint64(shift)
+                empty &= ~fill
+            if not empty.any():
+                break
+        out[rows] = sub
     return out
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 64,
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3,
+                       scheme: str = "kfold") -> DataFrame:
     """(doc_id, sig array<long>) — the 100 TB signature path.
 
     Stage split (r3 VERDICT item 3 — the per-doc Python hashing loop was
@@ -124,6 +181,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Signature VALUES differ from the legacy blake2b path (different
     base hash) but the estimator is the same family; pair detection on
     planted duplicates is equivalence-tested in tests/test_dedup_ann.py.
+
+    ``scheme``: "kfold" (default — n_hashes independent multiply-fold
+    permutations, the classic estimator) or "oph" (one-permutation
+    hashing + rotation densification, _oph_signatures — ONE pass over
+    the shingle hashes; the 100 TB-scale path, ~O(n_hashes)x less fold
+    work, same banded-LSH usage).
     """
     t = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     tc = F.col("_toks")
@@ -142,6 +205,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                       F.transform(sh, lambda s: F.xxhash64(s))
                       .alias("hs")))
 
+    fold = _oph_signatures if scheme == "oph" else _fold_min_signatures
+
     def gen(batches):
         for pdf in batches:
             lens = np.fromiter((len(h) for h in pdf["hs"]),
@@ -151,7 +216,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                                     for h in pdf["hs"]])
                     .astype(np.uint64) if offsets[-1] else
                     np.empty(0, dtype=np.uint64))
-            sig = _fold_min_signatures(flat, offsets, n_hashes)
+            sig = fold(flat, offsets, n_hashes)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "sig": list(sig.astype(np.int64)),
@@ -190,7 +255,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 64,
                       bands: int = 16, shingle_k: int = 3,
                       min_jaccard: float = 0.5,
-                      max_bucket: int | None = 10_000) -> DataFrame:
+                      max_bucket: int | None = 10_000,
+                      scheme: str = "kfold") -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
     rows/band = n_hashes/bands; a pair collides in a band iff that band's
@@ -205,7 +271,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     None disables).
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes,
+                              shingle_k, scheme=scheme)
     # empty docs carry the all-max sentinel (int64 -1 after the cast):
     # no signature -> no LSH participation.  The signature table is read
     # three times (two bucket sides + the verify join): localCheckpoint
@@ -314,42 +381,47 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     value-for-value (oracles.py::simhash).  Both are stable across
     processes; only the per-term hash function differs.
 
-    Vectorization (r3 VERDICT item 3): the only Python-level hashing is
-    one digest per BATCH-unique term (vocabulary is Zipf — a 10k-doc
-    batch reuses most terms); the ±1-bit accumulation runs as one
-    ``np.add.at`` scatter over (doc, term-instance) index arrays — no
-    per-doc loop.  Bit-identical to the scalar reference
+    Hot-path note (r3 VERDICT item 3): the per-term DIGEST is the
+    Python-level cost that scales with data (one hashlib call per
+    term); a worker-lifetime cache keyed on the term amortizes it to
+    one digest per vocabulary entry — Zipf vocabularies re-hit the
+    cache for virtually every token.  The per-doc ±1-bit accumulation
+    is already NumPy-vectorized.  (A fully batch-global formulation —
+    np.unique over every token instance + an add.at scatter — was
+    measured SLOWER: the global object-array sort and the
+    (instances x 64) intermediate dominate; BENCH/sig_bench.py.)
+    Bit-identical to the scalar reference
     (tests/test_dedup_ann.py equivalence test)."""
     term_hash = _md5_u64 if hasher == "md5" else _stable_u64
 
+    class _HashCache(dict):
+        def __missing__(self, t):
+            v = term_hash(t.encode())
+            if len(self) < 4_000_000:
+                self[t] = v
+            return v
+
     def gen(batches):
         shifts = np.arange(64, dtype=np.uint64)
+        hcache = _HashCache()
         for pdf in batches:
-            n = len(pdf)
-            doc_idx, all_toks = [], []
+            out = np.empty(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf[text_col]):
                 toks = (text or "").lower().split()
-                all_toks.extend(toks)
-                doc_idx.append(np.full(len(toks), i, dtype=np.int64))
-            out = np.zeros(n, dtype=np.int64)
-            if all_toks:
-                d = np.concatenate(doc_idx)
-                vocab, t_idx = np.unique(
-                    np.asarray(all_toks, dtype=object),
-                    return_inverse=True)
-                hs = np.fromiter(
-                    (term_hash(t.encode()) for t in vocab),
-                    dtype=np.uint64, count=len(vocab))
-                # (vocab, 64) ±1 bit matrix, one row per UNIQUE term
-                pm1 = (((hs[:, None] >> shifts) & np.uint64(1))
-                       .astype(np.int64) * 2 - 1)
-                acc = np.zeros((n, 64), dtype=np.int64)
-                np.add.at(acc, d, pm1[t_idx])
-                nonempty = np.zeros(n, dtype=bool)
-                nonempty[d] = True
-                packed = ((acc > 0).astype(np.uint64) << shifts) \
-                    .sum(axis=1, dtype=np.uint64).astype(np.int64)
-                out[nonempty] = packed[nonempty]
+                if not toks:
+                    out[i] = 0
+                    continue
+                uniq, counts = np.unique(np.array(toks, dtype=object),
+                                         return_counts=True)
+                hs = np.fromiter((hcache[t] for t in uniq),
+                                 dtype=np.uint64, count=len(uniq))
+                bits = ((hs[:, None] >> shifts)
+                        & np.uint64(1)).astype(np.int64)
+                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                out[i] = int(
+                    np.bitwise_or.reduce(
+                        (acc > 0).astype(np.uint64)
+                        << shifts).astype(np.int64))
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
                                 "simhash": out})
 

@@ -372,3 +372,44 @@ def test_simhash_bucket_cap(spark):
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert (200001, 200002) in found
     assert not any(a < 200000 and b < 200000 for a, b in found)
+
+
+def test_minhash_oph_scheme_finds_planted_pairs(spark, ddocs):
+    """One-permutation hashing (scheme="oph") detects the same planted
+    exact/near duplicates as the k-fold scheme; exact copies still
+    estimate jaccard 1.0 (identical shingle sets densify identically)."""
+    pairs = dedup.minhash_lsh_pairs(ddocs, "doc_id", "text",
+                                    n_hashes=64, bands=16,
+                                    min_jaccard=0.5,
+                                    scheme="oph").collect()
+    found = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    for i in range(10):
+        assert found[(i, i + 10000)] == 1.0
+    near = sum(1 for i in range(10) if (i, i + 20000) in found)
+    assert near >= 8
+
+
+def test_oph_signature_properties():
+    """_oph_signatures: filled bins hold the true per-bin min; empty
+    bins densify from the next non-empty bin (cyclic, xor-mixed);
+    empty docs keep the sentinel."""
+    import numpy as np
+
+    from php_lucene_analyzer_spark.operators.dedup import _oph_signatures
+
+    rng = np.random.default_rng(3)
+    lens = [0, 2000, 3]
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    flat = rng.integers(0, 2**63, size=int(offsets[-1]),
+                        dtype=np.int64).astype(np.uint64) << np.uint64(1)
+    sig = _oph_signatures(flat, offsets, 16)
+    assert (sig[0] == np.iinfo(np.uint64).max).all()
+    # dense doc: every bin filled with the exact per-bin min
+    seg = flat[offsets[1]:offsets[2]]
+    bins = (seg >> np.uint64(60)).astype(np.int64)
+    for b in range(16):
+        vals = seg[bins == b]
+        if vals.size:
+            assert sig[1, b] == vals.min()
+    # sparse doc (3 hashes): no sentinel survives densification
+    assert (sig[2] != np.iinfo(np.uint64).max).all()
