@@ -407,6 +407,57 @@ class FulltextIndex:
                            "left_anti")
         return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def query_many(self, queries: dict[str, str], k: int = 10,
+                   msm: int = 0, max_expansions: int = 64,
+                   default_operator: str = "OR") -> DataFrame:
+        """Execute a SET of classic-Lucene query strings in ONE Spark
+        job -> (qid, doc_id, score), bit-identical to per-query
+        ``query()`` — the serving shape: every dictionary expansion of
+        EVERY query runs in one expand_specs job, and every compiled
+        tree evaluates against each posting bucket in one applyInPandas
+        pass (operators/boolean.py::boolean_tree_topk_many).
+
+        Phrase clauses are unsupported here (each phrase needs its own
+        positional join — use ``query()`` for those); everything else
+        in the grammar is."""
+        from .operators.boolean import boolean_tree_topk_many
+        from .operators.fulltext import FIELD_SEP, expand_specs
+        from .querycompile import compile_query
+        from .queryparser import parse_query
+
+        known = set(self.fields) if self.fields else set()
+        default_field = self.fields[0] if self.fields else None
+        plans, spans, all_specs = {}, {}, []
+        for qid, q in queries.items():
+            p = compile_query(parse_query(q, default_operator),
+                              self._terms, default_field, msm,
+                              max_expansions, known_fields=known)
+            if p.phrases:
+                raise ValueError(
+                    f"query_many does not support phrase clauses "
+                    f"(query {qid!r}) — use query() per phrase query")
+            plans[qid] = p
+            spans[qid] = (len(all_specs), len(all_specs) + len(p.specs))
+            all_specs.extend(p.specs)
+        expansions = expand_specs(self.tstats, all_specs,
+                                  default_field=default_field) \
+            if all_specs else []
+        trees, insts, all_inst_terms = {}, {}, set()
+        for qid, p in plans.items():
+            lo, hi = spans[qid]
+            t, i = p.finalize(expansions[lo:hi])
+            trees[qid], insts[qid] = t, i
+            all_inst_terms.update(x for x, _, _ in i)
+        if self.fields:
+            av = {t: self.field_avgdl[t.split(FIELD_SEP, 1)[0]
+                                      if FIELD_SEP in t
+                                      else self.fields[0]]
+                  for t in all_inst_terms}
+        else:
+            av = self.avgdl
+        return boolean_tree_topk_many(self.postings, self.tstats,
+                                      self.n_docs, av, trees, insts, k)
+
     def suggest(self, word: str, max_edits: int = 2, k: int = 5,
                 prefix_len: int = 1) -> DataFrame:
         """Did-you-mean candidates for a (possibly misspelled) word ->

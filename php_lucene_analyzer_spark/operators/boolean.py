@@ -416,6 +416,68 @@ def boolean_tree_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
     return (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def boolean_tree_topk_many(postings: DataFrame, tstats: DataFrame,
+                           n_docs: int, avgdl, trees: dict,
+                           instances_raw: dict, k: int = 10,
+                           k1: float = K1, b: float = B) -> DataFrame:
+    """Evaluate a whole SET of compiled query trees in ONE Spark job ->
+    (qid, doc_id, score) — the serving shape (wand_topk_many's role for
+    the grouped/boosted/fielded query path): matched terms unioned into
+    one pruned scan, ONE applyInPandas pass runs every query against
+    each bucket, one global per-qid top-k window.  Results are
+    bit-identical to per-query ``boolean_tree_topk``.
+
+    ``trees``: {qid: tree}; ``instances_raw``: {qid: [(term, boost,
+    leaf_id)]}; ``avgdl``: float or {term: avgdl} (multi-field)."""
+    spark = postings.sparkSession
+    schema = "qid string, doc_id long, score double"
+
+    def leaf_terms(node, acc):
+        if node[0] == "leaf":
+            acc.update(node[2])
+        else:
+            for c in node[1] + node[2] + node[3]:
+                leaf_terms(c, acc)
+        return acc
+
+    per_q_terms = {qid: leaf_terms(t, set()) for qid, t in trees.items()}
+    all_terms = sorted(set().union(*per_q_terms.values())
+                       if per_q_terms else set())
+    if not all_terms:
+        return spark.createDataFrame([], schema)
+    dfs = {r["term"]: int(r["df"]) for r in
+           _filter_terms(tstats, all_terms).select("term", "df").collect()}
+    instances = {
+        qid: sorted(
+            (t, boost * bm25_idf(n_docs, dfs[t]),
+             avgdl if isinstance(avgdl, float) else avgdl[t], leaf_id)
+            for t, boost, leaf_id in raw if t in dfs)
+        for qid, raw in instances_raw.items()}
+    alive = sorted(t for t in all_terms if t in dfs)
+    if not alive:
+        return spark.createDataFrame([], schema)
+    qterms_alive = {qid: {t for t in ts if t in dfs}
+                    for qid, ts in per_q_terms.items()}
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, tree in trees.items():
+            # restrict to THIS query's terms (the wand_topk_many rule:
+            # the union bucket would corrupt per-query statistics)
+            sub = pdf[pdf["term"].isin(qterms_alive[qid])]
+            r = _tree_bucket(sub, tree, instances[qid], k, k1, b, False)
+            r.insert(0, "qid", qid)
+            outs.append(r)
+        return pd.concat(outs, ignore_index=True)
+
+    matched = _filter_terms(postings, alive)
+    local = matched.groupBy("rbucket").applyInPandas(bucket, schema=schema)
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (local.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k).drop("_r"))
+
+
 def boolean_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
                  avgdl: float, must: list[str] | None = None,
                  should: list[str] | None = None,

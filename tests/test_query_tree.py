@@ -318,3 +318,38 @@ def test_multifield_save_load_roundtrip(fidx, spark, tmp_path):
     assert loaded.field_avgdl == fidx.field_avgdl
     assert _rows(loaded.query("+title:fast +stream", k=8)) \
         == _rows(fidx.query("+title:fast +stream", k=8))
+
+
+def test_query_many_bit_identical_and_one_job(idx, monkeypatch):
+    """query_many == per-query query() bit-for-bit, with ONE expansion
+    job and ONE kernel job for the whole set."""
+    import php_lucene_analyzer_spark.operators.fulltext as ftmod
+
+    queries = {
+        "a": "(fast OR merge) AND stream",
+        "b": "window order sort -fast",
+        "c": "stram~ mer*",
+        "d": "fast^2 [merge TO order]",
+    }
+    want = {qid: _rows(idx.query(q, k=8)) for qid, q in queries.items()}
+    calls = []
+    real = ftmod.expand_specs
+
+    def counting(*a, **kw):
+        calls.append(len(a[1]))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ftmod, "expand_specs", counting)
+    rows = idx.query_many(queries, k=8).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid in queries:
+        got[qid].sort(key=lambda x: (-x[1], x[0]))
+        assert got[qid] == want[qid] and got[qid], qid
+    assert len(calls) == 1 and calls[0] == 3  # fuzzy + prefix + range
+
+
+def test_query_many_phrases_raise(idx):
+    with pytest.raises(ValueError):
+        idx.query_many({"p": '+"fast merge" value'})
