@@ -308,9 +308,12 @@ class FulltextIndex:
                                   default_field=default_field) \
             if plan.specs else []
         tree, instances = plan.finalize(expansions)
-        phr_must = [(p, b) for o, p, b in plan.phrases if o == MUST]
-        phr_not = [p for o, p, b in plan.phrases if o == MUST_NOT]
-        phr_should = [(p, b) for o, p, b in plan.phrases if o == SHOULD]
+        phr_must = [(p, sl) for o, p, b, sl in plan.phrases
+                    if o == MUST]
+        phr_not = [(p, sl) for o, p, b, sl in plan.phrases
+                   if o == MUST_NOT]
+        phr_should = [(p, b, sl) for o, p, b, sl in plan.phrases
+                      if o == SHOULD]
 
         has_terms = bool(instances)
         if not has_terms and not (phr_must or phr_should):
@@ -329,8 +332,8 @@ class FulltextIndex:
                 # pure-phrase query (r3 semantics): rank by total
                 # MUST-phrase match count
                 out = None
-                for p, _b in phr_must:
-                    m = self.phrase(p).select(
+                for p, sl in phr_must:
+                    m = self.phrase(p, slop=sl).select(
                         "doc_id",
                         F.col("n_matches").cast("double").alias("s"))
                     out = m if out is None else \
@@ -339,8 +342,9 @@ class FulltextIndex:
                                  "doc_id") \
                            .select("doc_id",
                                    (F.col("s") + F.col("s2")).alias("s"))
-                for p in phr_not:
-                    out = out.join(self.phrase(p).select("doc_id"),
+                for p, sl in phr_not:
+                    out = out.join(self.phrase(p, slop=sl)
+                                   .select("doc_id"),
                                    "doc_id", "left_anti")
                 return (out.select("doc_id", F.col("s").alias("score"))
                         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -350,12 +354,14 @@ class FulltextIndex:
                 self.postings, self.tstats, self.n_docs, av, tree,
                 instances, None if filtered else k)
             if filtered:
-                for p, _b in phr_must:
-                    res = res.join(self.phrase(p).select("doc_id"),
-                                   "doc_id", "left_semi")
-                for p in phr_not:
-                    res = res.join(self.phrase(p).select("doc_id"),
-                                   "doc_id", "left_anti")
+                for p, sl in phr_must:
+                    res = res.join(self.phrase(p, slop=sl)
+                                   .select("doc_id"), "doc_id",
+                                   "left_semi")
+                for p, sl in phr_not:
+                    res = res.join(self.phrase(p, slop=sl)
+                                   .select("doc_id"), "doc_id",
+                                   "left_anti")
                 res = res.orderBy(F.desc("score"),
                                   F.asc("doc_id")).limit(k)
             return res
@@ -369,7 +375,7 @@ class FulltextIndex:
             base = self.spark.createDataFrame(
                 [], "doc_id long, score double, n_should int")
         # one df lookup for every phrase term (sum-idf weights)
-        all_pterms = sorted({t for p, _ in phr_should
+        all_pterms = sorted({t for p, _b, _sl in phr_should
                              for t in self._terms(p)})
         dfs = {r["term"]: int(r["df"]) for r in
                _filter_terms(self.tstats, all_pterms)
@@ -378,10 +384,10 @@ class FulltextIndex:
         joined = base
         ps_cols = []
         join_how = "left" if (plan.has_must or phr_must) else "full_outer"
-        for i, (p, boost) in enumerate(phr_should):
+        for i, (p, boost, sl) in enumerate(phr_should):
             w_p = boost * sum(idf(self.n_docs, dfs[t])
                               for t in self._terms(p) if t in dfs)
-            pm = self.phrase(p).select(
+            pm = self.phrase(p, slop=sl).select(
                 "doc_id",
                 (F.lit(w_p) * F.col("n_matches") * (_K1 + 1.0)
                  / (F.col("n_matches") + _K1)).alias(f"_ps{i}"))
@@ -399,12 +405,12 @@ class FulltextIndex:
                .withColumn("_s", score_total)
                .filter(F.col("_n") >= eff_msm)
                .select("doc_id", F.col("_s").alias("score")))
-        for p, _b in phr_must:
-            res = res.join(self.phrase(p).select("doc_id"), "doc_id",
-                           "left_semi")
-        for p in phr_not:
-            res = res.join(self.phrase(p).select("doc_id"), "doc_id",
-                           "left_anti")
+        for p, sl in phr_must:
+            res = res.join(self.phrase(p, slop=sl).select("doc_id"),
+                           "doc_id", "left_semi")
+        for p, sl in phr_not:
+            res = res.join(self.phrase(p, slop=sl).select("doc_id"),
+                           "doc_id", "left_anti")
         return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def query_many(self, queries: dict[str, str], k: int = 10,
@@ -576,12 +582,14 @@ class FulltextIndex:
                     F.substring(F.col("_text"), lo.cast("int"),
                                 ln.cast("int")).alias("snippet")))
 
-    def phrase(self, phrase: str) -> DataFrame:
-        """Exact-phrase docs -> (doc_id, n_matches); needs
-        ``build(..., positional=True)`` or a loaded positional dir."""
+    def phrase(self, phrase: str, slop: int = 0) -> DataFrame:
+        """Phrase docs -> (doc_id, n_matches); needs
+        ``build(..., positional=True)`` or a loaded positional dir.
+        ``slop=0``: exact adjacency (graph positions); ``slop>0``:
+        span-near windows (operators/positional.py::phrase_match)."""
         if self.positional is None:
             raise ValueError("index built without positional=True")
-        return phrase_match(self.positional, phrase)
+        return phrase_match(self.positional, phrase, slop=slop)
 
     # --------------------------------------------------------- save/load
     def save(self, path: str) -> None:

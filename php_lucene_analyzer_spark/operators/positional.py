@@ -311,13 +311,65 @@ def _phrase_terms(phrase: str) -> list[tuple[str, int]]:
     return out
 
 
-def phrase_match(pos_postings: DataFrame, phrase: str,
-                 terms_fn=None) -> DataFrame:
-    """Docs containing the exact phrase -> (doc_id, n_matches).
+def _sloppy_windows(plists: list[np.ndarray], slop: int) -> int:
+    """Number of MINIMAL windows covering one occurrence of every term
+    with span excess <= slop: a window [lo, hi] qualifies when
+    (hi - lo) - (k - 1) <= slop (k = #distinct terms, order-free).
+    This is SpanNearQuery(inOrder=false) semantics — the documented
+    mapping for ``"..."~n`` (Lucene's classic SloppyPhraseScorer
+    edit-distance accounting differs for reordered matches; the span
+    interpretation is the one with a clean set-algebra definition).
 
-    Per rbucket: decode the phrase terms' blocks, intersect doc sets,
-    then verify position alignment (p_i - p_0 == gap_i for some start
-    p_0) with NumPy set intersections over the per-doc position arrays.
+    Classic two-pointer sweep over the merged (position, term) stream;
+    a minimal window is counted when no left-shrink preserves
+    coverage.  O(total positions) per doc."""
+    k = len(plists)
+    pos = np.concatenate(plists)
+    tid = np.concatenate([np.full(p.size, i, dtype=np.int64)
+                          for i, p in enumerate(plists)])
+    order = np.argsort(pos, kind="stable")
+    pos, tid = pos[order], tid[order]
+    counts = np.zeros(k, dtype=np.int64)
+    covered = 0
+    left = 0
+    n = 0
+    for right in range(pos.size):
+        t = tid[right]
+        counts[t] += 1
+        if counts[t] == 1:
+            covered += 1
+        if covered < k:
+            continue
+        # shrink to the minimal window ending at `right`
+        while counts[tid[left]] > 1:
+            counts[tid[left]] -= 1
+            left += 1
+        if (pos[right] - pos[left]) - (k - 1) <= slop:
+            n += 1
+        # drop the left endpoint so the next minimal window differs
+        counts[tid[left]] -= 1
+        covered -= 1
+        left += 1
+    return n
+
+
+def phrase_match(pos_postings: DataFrame, phrase: str,
+                 terms_fn=None, slop: int = 0) -> DataFrame:
+    """Docs containing the phrase -> (doc_id, n_matches).
+
+    ``slop=0`` (default): EXACT adjacency — per rbucket, decode the
+    phrase terms' blocks, intersect doc sets, verify position alignment
+    (p_i - p_0 == gap_i for some start p_0) with NumPy set
+    intersections over the per-doc position arrays.
+
+    ``slop>0``: span-near semantics (SpanNearQuery(inOrder=false)) —
+    the doc matches when every DISTINCT phrase term occurs within a
+    window whose span excess <= slop; n_matches counts minimal
+    qualifying windows (_sloppy_windows).  Duplicate phrase terms
+    collapse to one requirement and stopword holes don't widen the
+    requirement in slop mode (documented divergences from Lucene's
+    SloppyPhraseScorer; candidates agree for slop >= the classic
+    measure).
 
     ``terms_fn`` must match the one the index was built with (None =
     full chain; a tokenizer function = sequential positions).
@@ -329,6 +381,46 @@ def phrase_match(pos_postings: DataFrame, phrase: str,
         terms = _phrase_terms(phrase)
     if not terms:
         return spark.createDataFrame([], "doc_id long, n_matches int")
+    if slop > 0:
+        uterms = sorted({t for t, _ in terms})
+
+        def sl_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term: dict[str, dict[int, np.ndarray]] = {}
+            for term, g in pdf.groupby("term"):
+                dmap: dict[int, np.ndarray] = {}
+                g = g.sort_values(["first_doc", "block_no"])
+                for db, fb, pb in zip(g["doc_blob"], g["freq_blob"],
+                                      g["pos_blob"]):
+                    docs, _, plists = _decode_block(db, fb, pb)
+                    for d, pl in zip(docs, plists):
+                        dmap[int(d)] = pl
+                per_term[term] = dmap
+            if len(per_term) < len(uterms):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "n_matches": pd.Series(dtype="int32")})
+            first = min(per_term.values(), key=len)
+            out = []
+            for doc in first:
+                pls = []
+                ok = True
+                for t in uterms:
+                    pl = per_term[t].get(doc)
+                    if pl is None:
+                        ok = False
+                        break
+                    pls.append(pl)
+                if not ok:
+                    continue
+                nm = _sloppy_windows(pls, slop)
+                if nm:
+                    out.append((doc, nm))
+            return pd.DataFrame(out, columns=["doc_id", "n_matches"])
+
+        matched = pos_postings.filter(F.col("term").isin(uterms))
+        return (matched.groupBy("rbucket")
+                .applyInPandas(lambda pdf: sl_bucket(pdf),
+                               schema="doc_id long, n_matches int")
+                .orderBy("doc_id"))
     base_pos = terms[0][1]
     gaps = [(t, p - base_pos) for t, p in terms]
     term_list = [t for t, _ in gaps]

@@ -15,7 +15,8 @@ expands, then ``finalize(expansions)`` yields:
                instance per positive-path leaf membership (Lucene: a
                term present in two clauses scores once per clause;
                leaves under a MUST_NOT never score)
-  phrases    — top-level phrase clauses [(occur, text, boost)];
+  phrases    — top-level phrase clauses [(occur, text, boost,
+               slop)];
                nested phrases raise (documented: phrase constraints
                combine relationally with the kernel output, which is
                only defined at the root level)
@@ -64,7 +65,7 @@ class _Node:
 class QueryPlan:
     root: _Node
     specs: list
-    phrases: list               # [(occur, text, boost)]
+    phrases: list               # [(occur, text, boost, slop)]
     msm: int
     n_leaves: int
 
@@ -155,7 +156,7 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
                         f"field-scoped phrase {a.field}:\"{a.value}\" "
                         f"is unsupported — the positional index covers "
                         f"the default field")
-                phrases.append((occ, a.value, a.boost))
+                phrases.append((occ, a.value, a.boost, a.edits))
                 continue
             if a.kind == "term":
                 terms = _prefixed(terms_of(a.value),
@@ -194,8 +195,8 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
 
     root = conv(ast, 0, False)
     has_must = bool(root.must)
-    must_phr = any(o == MUST for o, _, _ in phrases)
-    should_phr = any(o == SHOULD for o, _, _ in phrases)
+    must_phr = any(o == MUST for o, *_ in phrases)
+    should_phr = any(o == SHOULD for o, *_ in phrases)
     if should_phr:
         root_msm = 0 if has_must else 0   # msm applied relationally
     else:

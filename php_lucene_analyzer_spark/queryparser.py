@@ -26,8 +26,10 @@ OR demotes its left neighbor to SHOULD.  Keywords are CASE-SENSITIVE
 (``and`` is a term, ``AND`` an operator) — Lucene semantics.
 
 Documented divergences (execution, see FulltextIndex.query):
-* phrase slop (``"a b"~2``) is rejected with a clear error — the packed
-  positional kernel evaluates exact adjacency (graph positions);
+* phrase slop (``"a b"~2``) executes with SpanNearQuery(inOrder=false)
+  semantics — every distinct phrase term within a window of span
+  excess <= slop (operators/positional.py::phrase_match) — not
+  Lucene's classic SloppyPhraseScorer edit-distance accounting;
 * fuzzy/prefix/regex/range clauses expand against the term dictionary
   (positive clauses bounded df-descending — Lucene's top-terms rewrite;
   NEGATIVE clauses expand unbounded, since exclusion needs the full
@@ -204,14 +206,15 @@ class _Parser:
             return sub if sub.clauses else None
         if k == "phrase":
             m = re.match(r'^"(?P<p>[^"]*)"(?:~(?P<slop>\d+))?$', v)
-            if m.group("slop") is not None:
-                raise ValueError(
-                    f"phrase slop (~{m.group('slop')}) is unsupported — "
-                    f"the positional kernel evaluates exact adjacency")
             p = m.group("p").strip()
             if not p:
                 return None
-            return self._with_boost(Atom("phrase", p, field=fld))
+            slop = int(m.group("slop") or 0)
+            # slop rides in `edits` (one int slot per leaf); execution
+            # maps "..."~n to SpanNearQuery(inOrder=false) semantics —
+            # see operators/positional.py::phrase_match(slop=...)
+            return self._with_boost(Atom("phrase", p, field=fld,
+                                         edits=slop))
         if k == "regex":
             return self._with_boost(Atom("regex", v[1:-1], field=fld))
         if k == "range":

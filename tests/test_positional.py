@@ -332,3 +332,66 @@ def test_offsetless_index_raises_on_span_query(spark, docs):
             idx.snippet_spans("merge").collect()
     finally:
         idx.close()
+
+
+# ------------------------------------------------------ phrase slop (r4)
+def test_phrase_match_slop_matches_bruteforce(spark, docs):
+    """slop>0 = span-near(inOrder=false): every distinct phrase term in
+    a window with span excess <= slop; n_matches counts minimal
+    qualifying windows.  Verified against an independent O(m²)
+    enumerate-all-windows reference."""
+    import re
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, positional_postings)
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text):
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    sub = docs.filter("doc_id < 150").select("doc_id", "text")
+    pos = positional_postings(sub.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text",
+                              terms_fn=simple_terms).cache()
+
+    def brute(doc_toks, terms, slop):
+        k = len(terms)
+        occ = sorted((p, t) for p, t in enumerate(doc_toks)
+                     if t in terms)
+        n = 0
+        for li in range(len(occ)):
+            for ri in range(li, len(occ)):
+                window = occ[li:ri + 1]
+                if {t for _, t in window} != set(terms):
+                    continue
+                # minimal: endpoints are the sole carriers of their term
+                if any(t == window[0][1] for _, t in window[1:]):
+                    continue
+                if ri > li and any(t == window[-1][1]
+                                   for _, t in window[:-1]):
+                    continue
+                if (window[-1][0] - window[0][0]) - (k - 1) <= slop:
+                    n += 1
+                break  # only the minimal window starting at li
+        return n
+
+    texts = {r["doc_id"]: simple_terms(r["text"])
+             for r in sub.collect()}
+    for phrase, slop in (("fast join", 4), ("merge stream", 8),
+                         ("window sort table", 6)):
+        terms = sorted(set(phrase.split()))
+        got = {r["doc_id"]: r["n_matches"] for r in
+               phrase_match(pos, phrase, terms_fn=simple_terms,
+                            slop=slop).collect()}
+        want = {}
+        for d, toks in texts.items():
+            nm = brute(toks, terms, slop)
+            if nm:
+                want[d] = nm
+        assert got == want and got, (phrase, slop)
+    # slop=0 path untouched: exact adjacency still works
+    t0 = texts[0][:2]
+    exact = phrase_match(pos, " ".join(t0), terms_fn=simple_terms)
+    assert exact.count() > 0
+    pos.unpersist()

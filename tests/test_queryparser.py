@@ -92,8 +92,9 @@ def test_parse_grouping_fields_boosts():
 def test_parse_errors_and_edges():
     with pytest.raises(ValueError):
         parse_query('broken "quote')
-    with pytest.raises(ValueError):
-        parse_query('"a b"~2')           # slop unsupported
+    t = parse_query('"a b"~2')           # slop parses (round 4)
+    assert t.clauses[0][1].kind == "phrase" \
+        and t.clauses[0][1].edits == 2
     with pytest.raises(ValueError):
         parse_query("(a OR b")           # unbalanced paren
     with pytest.raises(ValueError):
@@ -252,3 +253,19 @@ def test_query_one_expansion_job(idx, monkeypatch):
     idx.query("stram~ mer* /st.*m/ [m TO n] -zz* +value", k=5).collect()
     assert len(calls) == 1          # one job for all five expansions
     assert calls[0] == 5
+
+
+def test_phrase_slop_parses_and_filters(idx, docs):
+    """"a b"~n no longer raises: it parses with the slop in `edits` and
+    executes as a span-near filter via phrase(slop=...)."""
+    from php_lucene_analyzer_spark.queryparser import parse_query
+    t = parse_query('+"fast join"~4 value')
+    ph = next(c for _, c in t.clauses if c.kind == "phrase")
+    assert ph.edits == 4
+    got = _rows(idx.query('+"fast join"~4 +value', k=10_000))
+    span_docs = {r["doc_id"]
+                 for r in idx.phrase("fast join", slop=4).collect()}
+    base = _rows(idx.search_boolean(must=["value"], k=10_000))
+    want = [(d, s) for d, s in base if d in span_docs]
+    assert got == sorted(want, key=lambda x: (-x[1], x[0]))[:10_000]
+    assert got  # non-vacuous
