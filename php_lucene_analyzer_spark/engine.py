@@ -264,7 +264,8 @@ class FulltextIndex:
 
     def query(self, q: str, k: int = 10, msm: int = 0,
               max_expansions: int = 64,
-              default_operator: str = "OR") -> DataFrame:
+              default_operator: str = "OR",
+              multifield: bool = False) -> DataFrame:
         """Execute a classic-Lucene query STRING -> (doc_id, score).
 
         Full grammar (queryparser.py): ``+ - NOT AND OR``, parenthesized
@@ -286,6 +287,12 @@ class FulltextIndex:
         vocabularies a negative wildcard's expansion is the one place a
         doc-set anti-join would replace the term list).
 
+        ``multifield=True`` (MultiFieldQueryParser role, multi-field
+        indexes only): an UNFIELDED term searches EVERY index field —
+        each token's clause matches any field's variant and each
+        variant scores with its own field's idf/avgdl; explicit
+        ``field:`` atoms and expansion atoms are unaffected.
+
         Phrase clauses evaluate on the packed positional index:
         MUST/MUST_NOT join in (semi/anti) BEFORE the global top-k with
         the kernel's per-bucket cut disabled; SHOULD phrases score
@@ -303,7 +310,9 @@ class FulltextIndex:
         known = set(self.fields) if self.fields else set()
         default_field = self.fields[0] if self.fields else None
         plan = compile_query(ast, self._terms, default_field, msm,
-                             max_expansions, known_fields=known)
+                             max_expansions, known_fields=known,
+                             all_fields=(self.fields if multifield
+                                         else None))
         expansions = expand_specs(self.tstats, plan.specs,
                                   default_field=default_field) \
             if plan.specs else []
@@ -415,7 +424,8 @@ class FulltextIndex:
 
     def query_many(self, queries: dict[str, str], k: int = 10,
                    msm: int = 0, max_expansions: int = 64,
-                   default_operator: str = "OR") -> DataFrame:
+                   default_operator: str = "OR",
+                   multifield: bool = False) -> DataFrame:
         """Execute a SET of classic-Lucene query strings in ONE Spark
         job -> (qid, doc_id, score), bit-identical to per-query
         ``query()`` — the serving shape: every dictionary expansion of
@@ -437,7 +447,9 @@ class FulltextIndex:
         for qid, q in queries.items():
             p = compile_query(parse_query(q, default_operator),
                               self._terms, default_field, msm,
-                              max_expansions, known_fields=known)
+                              max_expansions, known_fields=known,
+                              all_fields=(self.fields if multifield
+                                          else None))
             if p.phrases:
                 raise ValueError(
                     f"query_many does not support phrase clauses "

@@ -107,10 +107,20 @@ def _prefixed(terms, fld, default_field):
 
 def compile_query(ast: Bool, terms_of, default_field: str | None,
                   msm: int = 0, max_expansions: int = 64,
-                  known_fields: set[str] | None = None) -> QueryPlan:
+                  known_fields: set[str] | None = None,
+                  all_fields: list[str] | None = None) -> QueryPlan:
     """AST -> QueryPlan.  ``terms_of``: text -> analyzed term list (the
     index's chain).  ``known_fields``: validated when given — a typo'd
-    field should fail loudly, not silently match nothing."""
+    field should fail loudly, not silently match nothing.
+
+    ``all_fields``: MultiFieldQueryParser mode — an UNFIELDED term atom
+    expands to the any-of group of its per-field variants (one leaf
+    matching the term in ANY listed field; each variant scores with its
+    own field's idf/avgdl).  Explicit ``field:`` atoms are unaffected.
+    Unfielded EXPANSION atoms (fuzzy/prefix/...) still target the
+    default field — Lucene's MultiFieldQueryParser rewrites term/phrase
+    clauses, and multi-field wildcard scoring is rarely what users
+    mean (documented)."""
     specs: list[dict] = []
     phrases: list[tuple] = []
     counter = {"leaf": 0}
@@ -159,10 +169,31 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
                 phrases.append((occ, a.value, a.boost, a.edits))
                 continue
             if a.kind == "term":
-                terms = _prefixed(terms_of(a.value),
-                                  check_field(a.field), default_field)
-                if not terms:
+                base = terms_of(a.value)
+                if not base:
                     continue        # stopword-only atom drops (r3)
+                if a.field is None and all_fields:
+                    # MultiFieldQueryParser: each token's leaf spans
+                    # every field's variant (any-of); MUST keeps the
+                    # per-token conjunction, SHOULD/NOT keep ONE leaf
+                    # per atom (msm counts words — r3 semantics)
+                    spread = [tuple(x for f in all_fields
+                                    for x in _prefixed((t,), f,
+                                                       default_field))
+                              for t in base]
+                    if occ == MUST and len(spread) > 1:
+                        sub = _Node()
+                        sub.must = [new_leaf(a.boost, ts)
+                                    for ts in spread]
+                        out.must.append(sub)
+                    elif occ == MUST:
+                        _attach(out, occ, new_leaf(a.boost, spread[0]))
+                    else:
+                        flat = tuple(x for ts in spread for x in ts)
+                        _attach(out, occ, new_leaf(a.boost, flat))
+                    continue
+                terms = _prefixed(base, check_field(a.field),
+                                  default_field)
                 if occ == MUST and len(terms) > 1:
                     sub = _Node()
                     sub.must = [new_leaf(a.boost, (t,)) for t in terms]

@@ -31,7 +31,8 @@ EPOCH_SHIFT = 40
 
 
 def _index_batch(batch_df: DataFrame, epoch_id: int, out_dir: str,
-                 positional_dir: str | None = None) -> None:
+                 positional_dir: str | None = None,
+                 store_offsets: bool = False) -> None:
     if batch_df.isEmpty():
         return
     # micro-batches are small; a single-partition window is fine here
@@ -56,7 +57,8 @@ def _index_batch(batch_df: DataFrame, epoch_id: int, out_dir: str,
     if positional_dir is not None:
         pseg = os.path.join(positional_dir, f"epoch={int(epoch_id)}")
         positional_postings(ids, "doc_id", "content",
-                            rbucket_base=rb_base) \
+                            rbucket_base=rb_base,
+                            store_offsets=store_offsets) \
             .write.mode("overwrite").parquet(pseg)
 
 
@@ -64,20 +66,23 @@ def stream_index(spark: SparkSession, input_dir: str, out_dir: str,
                  checkpoint_dir: str, schema: str =
                  "repo string, path string, commit string, lang string, "
                  "content string",
-                 positional_dir: str | None = None) -> StreamingQuery:
+                 positional_dir: str | None = None,
+                 store_offsets: bool = False) -> StreamingQuery:
     """Start an availableNow streaming index over a parquet drop directory.
 
     Exactly-once per micro-batch: the epoch-keyed segment dir is
     overwritten on replay; the streaming checkpoint tracks consumed files.
     ``positional_dir`` additionally maintains epoch-scoped positional
-    block segments so phrase queries cover the streamed corpus too.
+    block segments so phrase queries cover the streamed corpus too
+    (``store_offsets=True`` carries char offsets for snippet queries —
+    round 4).
     """
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 4)
               .parquet(input_dir))
     return (stream.writeStream
             .foreachBatch(lambda df, eid: _index_batch(
-                df, eid, out_dir, positional_dir))
+                df, eid, out_dir, positional_dir, store_offsets))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

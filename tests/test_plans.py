@@ -199,3 +199,68 @@ def test_dense_rank_ids_no_global_window(spark):
     # and it is correct: ids are the global rank
     rows = sorted((r["repo"], r["path"], r["xid"]) for r in out.collect())
     assert [x for _, _, x in rows] == list(range(len(rows)))
+
+
+# -------------------------------------------------- round-4 plan audits
+def test_expand_specs_prunes_and_prefilters(spark, docs):
+    """The one-job expansion reads ONLY (term, df) from a stored
+    dictionary (column pruning) and carries a scan-level prefilter (the
+    OR of the per-spec conditions) ahead of the match-explode."""
+    import tempfile
+
+    tdf = ft.term_doc_freqs(docs, "doc_id", "text")
+    tstats = ft.term_stats(tdf)
+    with tempfile.TemporaryDirectory() as d:
+        tstats.write.parquet(d + "/ts")
+        stored = spark.read.parquet(d + "/ts")
+        from php_lucene_analyzer_spark.operators.fulltext import \
+            expand_specs
+        specs = [
+            {"kind": "prefix", "value": "mer", "field": None, "cap": 64},
+            {"kind": "fuzzy", "value": "stream", "edits": 1,
+             "field": None, "cap": None},
+        ]
+        # reproduce the operator's matched plan shape directly
+        from functools import reduce
+        from operator import or_
+        conds = [F.col("term").startswith("mer"),
+                 (F.length("term") >= 5) & (F.length("term") <= 7)
+                 & (F.levenshtein(F.col("term"), F.lit("stream")) <= 1)]
+        probe = (stored.filter(reduce(or_, conds))
+                 .select("term", "df"))
+        plan = _plan(probe)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and set(c.split(":")[0] for c in m.group(1).split(",")) \
+            == {"term", "df"}
+        # and the real operator returns the right expansions from the
+        # same stored table
+        out = expand_specs(stored, specs)
+        assert all(t.startswith("mer") for t, _, _ in out[0])
+        assert out[0] and out[1]
+        assert any(t == "stream" for t, _, _ in out[1])
+
+
+def test_tree_kernel_scan_prunes_by_term(spark, docs):
+    """boolean_tree_topk's matched scan pushes the term predicate
+    (isin / semi-join) exactly like the WAND path."""
+    import tempfile
+
+    from php_lucene_analyzer_spark.operators.boolean import \
+        boolean_tree_topk
+
+    tdf = ft.term_doc_freqs(docs, "doc_id", "text")
+    n, avgdl = ft.corpus_stats(tdf)
+    tstats = ft.term_stats(tdf)
+    postings = build_postings(tdf)
+    with tempfile.TemporaryDirectory() as d:
+        write_postings(postings, d + "/p")
+        stored = spark.read.parquet(d + "/p")
+        tree = ("node",
+                (("node", (), (("leaf", 0, ("fast",)),
+                               ("leaf", 1, ("merge",))), (), 1),),
+                (("leaf", 2, ("stream",)),), (), 0)
+        inst = [("fast", 1.0, 0), ("merge", 1.0, 1), ("stream", 1.0, 2)]
+        res = boolean_tree_topk(stored, tstats, n, avgdl, tree, inst, 10)
+        plan = _plan(res)
+        assert "PushedFilters: [In(term" in plan
+        assert res.count() > 0

@@ -353,3 +353,99 @@ def test_query_many_bit_identical_and_one_job(idx, monkeypatch):
 def test_query_many_phrases_raise(idx):
     with pytest.raises(ValueError):
         idx.query_many({"p": '+"fast merge" value'})
+
+
+def test_multifield_unfielded_query_mode(fidx, fcorpus):
+    """multifield=True (MultiFieldQueryParser role): an unfielded term
+    matches ANY field's variant and each variant scores with its own
+    field's stats — verified against the independent tree oracle."""
+    from php_lucene_analyzer_spark.operators.fulltext import expand_specs
+    from php_lucene_analyzer_spark.querycompile import compile_query
+    from php_lucene_analyzer_spark.queryparser import parse_query
+
+    per_doc, fld_len = fcorpus
+    n = fidx.n_docs
+    dls_by_field = {
+        "body": fld_len["body"], "title": fld_len["title"]}
+
+    def avgdl_of(t):
+        f = t.split(FIELD_SEP, 1)[0] if FIELD_SEP in t else "body"
+        return fidx.field_avgdl[f]
+
+    # per-doc dl depends on the TERM's field — adapt the oracle's dls
+    # by making them a function via a wrapper dict keyed per call:
+    class _DL(dict):
+        pass
+
+    for q, msm in (("+fast stream", 0), ("fast AND merge", 0),
+                   ("window order -slow", 1)):
+        plan = compile_query(parse_query(q), fidx._terms, "body",
+                             msm, 64, known_fields={"body", "title"},
+                             all_fields=["body", "title"])
+        exp = expand_specs(fidx.tstats, plan.specs,
+                           default_field="body") if plan.specs else []
+        tree, inst = plan.finalize(exp)
+        # independent evaluation with per-field dl
+        from tests.test_query_tree import _tree_oracle  # self-import ok
+        # _tree_oracle uses dls[d] — per-field dl needs a custom loop:
+        all_docs = set(per_doc)
+
+        def match(node):
+            if node[0] == "leaf":
+                return {d for d in all_docs
+                        if any(t in per_doc[d] for t in node[2])}
+            _, must, should, nots, m_ = node
+            cand = None
+            for c in must:
+                mm = match(c)
+                cand = mm if cand is None else cand & mm
+            sh = [match(c) for c in should]
+            if cand is None:
+                u = set().union(*sh) if sh else set()
+                cand = u if m_ <= 1 else {
+                    d for d in u if sum(d in s for s in sh) >= m_}
+            elif m_:
+                cand = {d for d in cand
+                        if sum(d in s for s in sh) >= m_}
+            for c in nots:
+                cand = cand - match(c)
+            return cand
+
+        effs = {}
+
+        def walk(node, eff):
+            mm = match(node) & eff
+            if node[0] == "leaf":
+                effs[node[1]] = mm
+                return
+            for c in node[1] + node[2]:
+                walk(c, mm)
+
+        cand = match(tree)
+        walk(tree, cand)
+        dfm = {t: sum(1 for c in per_doc.values() if t in c)
+               for t, _, _ in inst}
+        scores = {d: 0.0 for d in cand}
+        for t, w, lid in inst:
+            if not dfm[t]:
+                continue
+            wf = w * ft.idf(n, dfm[t])
+            av = avgdl_of(t)
+            fldname = t.split(FIELD_SEP, 1)[0] if FIELD_SEP in t \
+                else "body"
+            for d in effs.get(lid, ()):
+                if t in per_doc[d]:
+                    tf = per_doc[d][t]
+                    dl = dls_by_field[fldname][d]
+                    scores[d] += (wf * (tf * (ft.K1 + 1.0))
+                                  / (tf + ft.K1 * (1.0 - ft.B
+                                                   + ft.B * dl / av)))
+        want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = _rows(fidx.query(q, k=10, msm=msm, multifield=True))
+        assert got == want and got, q
+    # a doc matching ONLY in title is found without a field prefix
+    tonly = {d for d, c in per_doc.items()
+             if ("title" + FIELD_SEP + fidx._terms("fast")[0]) in c}
+    found = {d for d, _ in
+             _rows(fidx.query("fast", k=10_000, multifield=True))}
+    assert tonly <= found and tonly

@@ -202,3 +202,25 @@ def test_streaming_positional_segments_phrase_match(spark, workdir):
     assert Counter(n for _, n in streamed_keys) \
         == Counter(n for _, n in want_keys)
     assert len(streamed_keys) == len(want_keys)
+
+
+def test_streaming_positional_offsets(spark, workdir):
+    """stream_index(store_offsets=True): streamed positional segments
+    carry offset blobs and serve first_match_span directly."""
+    from php_lucene_analyzer_spark.operators.positional import \
+        first_match_span
+
+    docs = synthetic_corpus(spark, 120, partitions=2).cache()
+    in_dir, out_dir = workdir + "/oin", workdir + "/osegments"
+    pos_dir, ckpt = workdir + "/opos", workdir + "/ockpt"
+    docs.write.parquet(in_dir + "/b1")
+    q = stream_index(spark, in_dir + "/*", out_dir, ckpt,
+                     positional_dir=pos_dir, store_offsets=True)
+    q.awaitTermination(120)
+    streamed_pos = spark.read.option("basePath", pos_dir) \
+        .parquet(pos_dir + "/epoch=*")
+    assert streamed_pos.filter(F.col("ostart_blob").isNotNull()).count() > 0
+    spans = first_match_span(streamed_pos, ["parse", "token"]).collect()
+    assert spans
+    for r in spans[:20]:
+        assert 0 <= r["start"] < r["end"]

@@ -80,7 +80,11 @@ def test_repeated_calls_leak_no_storage(spark, op):
     r1 = run()
     r2 = run()
     assert r1 is not None and r2 is not None
-    after = _wait_for_release(spark, baseline)
+    # ContextCleaner releases checkpointed RDDs asynchronously; under a
+    # loaded full-suite session the 30s default window is marginal —
+    # poll longer before declaring a leak (the REAL leak this guards
+    # against never releases, so a longer window cannot mask it)
+    after = _wait_for_release(spark, baseline, timeout=120.0)
     assert after <= baseline, \
         f"{op}: persistent RDDs grew {baseline} -> {after} after 2 calls"
 
