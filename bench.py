@@ -113,6 +113,31 @@ def main() -> None:
         flat[min(len(flat) - 1, math.ceil(len(flat) * 0.95) - 1)], 4)
     timings["fuzzy_suite"] = round(sum(flat) / reps, 3)
 
+    # --- grouped/boosted query-string serving (round 4: parser ->
+    # tree kernel; expansions batched into one job per call) ---
+    grouped = {
+        "g1": "(fast OR merge) AND stream",
+        "g2": "window order sort -slow",
+        "g3": "+customer (value OR dup) mer*",
+        "g4": "fast^2 [merge TO order]",
+    }
+    glat = []
+    for _ in range(reps):
+        for q in grouped.values():
+            tq = time.time()
+            fidx.query(q, k=10).collect()
+            glat.append(time.time() - tq)
+    glat.sort()
+    extra["grouped_p50_sec"] = round(glat[len(glat) // 2], 4)
+    extra["grouped_p95_sec"] = round(
+        glat[min(len(glat) - 1, math.ceil(len(glat) * 0.95) - 1)], 4)
+    timings["grouped_suite"] = round(sum(glat) / reps, 3)
+    # the batched form: whole set, one expansion + one kernel job
+    fidx.query_many(grouped, k=10).collect()   # warm
+    tq = time.time()
+    fidx.query_many(grouped, k=10).collect()
+    timings["grouped_batched"] = round(time.time() - tq, 3)
+
     # --- dedup signature throughput: vectorized (JVM shingle hash +
     # reduceat folds) vs the legacy per-doc/per-shingle Python path ---
     from php_lucene_analyzer_spark.operators.dedup import (
