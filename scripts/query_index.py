@@ -5,8 +5,12 @@ scripts/build_index.py.
     spark-submit --py-files plas.zip scripts/query_index.py \
         --workdir /path/to/index [-k 10] "query one" "query two" ...
 
-All queries evaluate in ONE Spark job (wand_topk_many); prints one JSON
-line per query: {"query": ..., "hits": [[doc_id, score], ...]}.
+All queries evaluate in ONE Spark job (wand_topk_many — or
+engine.query_many with ``--syntax classic``, which parses full
+classic-Lucene strings: AND/OR/NOT, parens, field:term, boosts,
+ranges, wildcards, fuzzy; phrase clauses need the positional index
+and are not servable through this batched CLI).  Prints one JSON line
+per query: {"query": ..., "hits": [[doc_id, score], ...]}.
 """
 
 from __future__ import annotations
@@ -25,6 +29,12 @@ def main() -> None:
                          "return doc metadata (repo/path/... columns) "
                          "instead of bare ids — one broadcast join, the "
                          "hit side is tiny")
+    ap.add_argument("--syntax", choices=["terms", "classic"],
+                    default="terms",
+                    help="'terms': analyzed bag-of-words -> WAND "
+                         "(default); 'classic': full Lucene query "
+                         "syntax -> parser + tree kernel "
+                         "(engine.query_many)")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -56,8 +66,17 @@ def main() -> None:
     tstats = term_stats_from_postings(postings)
 
     qmap = {str(i): q for i, q in enumerate(args.queries)}
-    hits_df = wand_topk_many(postings, tstats, stats["n_docs"],
-                             stats["avgdl"], qmap, k=args.k)
+    if args.syntax == "classic":
+        from php_lucene_analyzer_spark.engine import FulltextIndex
+
+        idx = FulltextIndex(spark, postings, tstats,
+                            int(stats["n_docs"]), float(stats["avgdl"]),
+                            fields=stats.get("fields"),
+                            field_avgdl=stats.get("field_avgdl"))
+        hits_df = idx.query_many(qmap, k=args.k)
+    else:
+        hits_df = wand_topk_many(postings, tstats, stats["n_docs"],
+                                 stats["avgdl"], qmap, k=args.k)
     meta_cols: list[str] = []
     if args.fetch:
         import pyspark.sql.functions as F

@@ -187,3 +187,33 @@ def test_engine_save_keeps_cache(spark, tmp_path):
     assert idx.postings.storageLevel != StorageLevel.NONE, \
         "save() unpersisted the live index"
     assert idx.search("parse", k=3).count() > 0
+
+
+def test_query_classic_syntax_via_spark_submit(built_index, pyfiles_zip,
+                                               spark):
+    """--syntax classic routes through the round-4 parser + tree kernel
+    and matches the in-process engine bit-for-bit."""
+    workdir, _ = built_index
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "query_index.py"),
+                  "--workdir", workdir, "-k", "5", "--syntax", "classic",
+                  "(merge OR join) AND stream", "window order -slow")
+    lines = [json.loads(l) for l in out.strip().splitlines()
+             if l.startswith("{")]
+    got = {d["query"]: [tuple(h) for h in d["hits"]] for d in lines}
+
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+    from php_lucene_analyzer_spark.operators.postings import (
+        term_stats_from_postings)
+
+    stats = json.load(open(os.path.join(workdir, "stats.json")))
+    postings = spark.read.option(
+        "basePath", os.path.join(workdir, "postings")).parquet(
+        os.path.join(workdir, "postings", "chunk=*"))
+    tstats = term_stats_from_postings(postings).cache()
+    idx = FulltextIndex(spark, postings, tstats, int(stats["n_docs"]),
+                        float(stats["avgdl"]))
+    for q in ("(merge OR join) AND stream", "window order -slow"):
+        want = [(r["doc_id"], r["score"])
+                for r in idx.query(q, k=5).collect()]
+        assert got[q] == want and want
