@@ -210,7 +210,11 @@ def word_delimiter_graph(tokens: list[Token],
             emitted_any = True
         for k, (text, rs, re_) in enumerate(parts):
             at_pos: list[Token] = []
-            for span, ctext, crs, cre in sorted(cats.get(k, ()),
+            # set-dedupe: CATENATE_WORDS|CATENATE_ALL (or NUMBERS|ALL)
+            # buffer the same run twice and would emit the identical
+            # catenated token twice, doubling its tf (Lucene suppresses
+            # the duplicate via its lastConcatCount guard; review fix)
+            for span, ctext, crs, cre in sorted(set(cats.get(k, ())),
                                                 reverse=True):
                 at_pos.append(Token(ctext, tok.start + crs,
                                     tok.start + cre, 0, span, tok.type))

@@ -376,13 +376,35 @@ class FulltextIndex:
             return res
 
         # ---- SHOULD phrases: score + count toward msm relationally
-        if has_terms:
-            base = boolean_tree_topk(
-                self.postings, self.tstats, self.n_docs, av, tree,
-                instances, None, with_counts=True)
+        kernel_out = boolean_tree_topk(
+            self.postings, self.tstats, self.n_docs, av, tree,
+            instances, None, with_counts=True) if has_terms else None
+        # The join FRAME is the candidate universe (review fix — a left
+        # join against an empty/partial frame silently dropped docs
+        # whose only positive evidence was a required phrase):
+        #   * MUST term clauses  -> the kernel output bounds candidacy;
+        #   * else MUST phrases  -> the first required phrase's doc set
+        #     (remaining must-phrases semi-join after), with kernel
+        #     term scores left-joined on;
+        #   * else (pure SHOULD) -> full outer across kernel + phrases.
+        if plan.has_must:
+            joined = kernel_out
+            join_how = "left"
+        elif phr_must:
+            p0, sl0 = phr_must[0]
+            joined = self.phrase(p0, slop=sl0).select("doc_id")
+            if kernel_out is not None:
+                joined = joined.join(kernel_out, "doc_id", "left")
+            else:
+                joined = joined.withColumn(
+                    "score", F.lit(None).cast("double")).withColumn(
+                    "n_should", F.lit(None).cast("int"))
+            join_how = "left"
         else:
-            base = self.spark.createDataFrame(
-                [], "doc_id long, score double, n_should int")
+            joined = kernel_out if kernel_out is not None else \
+                self.spark.createDataFrame(
+                    [], "doc_id long, score double, n_should int")
+            join_how = "full_outer"
         # one df lookup for every phrase term (sum-idf weights)
         all_pterms = sorted({t for p, _b, _sl in phr_should
                              for t in self._terms(p)})
@@ -390,9 +412,7 @@ class FulltextIndex:
                _filter_terms(self.tstats, all_pterms)
                .select("term", "df").collect()} if all_pterms else {}
         from .operators.fulltext import B as _B, K1 as _K1
-        joined = base
         ps_cols = []
-        join_how = "left" if (plan.has_must or phr_must) else "full_outer"
         for i, (p, boost, sl) in enumerate(phr_should):
             w_p = boost * sum(idf(self.n_docs, dfs[t])
                               for t in self._terms(p) if t in dfs)

@@ -238,17 +238,39 @@ def lsh_oversized_buckets(buckets: DataFrame, key_cols: list[str],
 def _cap_buckets(buckets: DataFrame, key_cols: list[str],
                  max_bucket: int | None) -> DataFrame:
     """Drop rows of buckets larger than ``max_bucket`` before the
-    candidate self-join.  A hot bucket (boilerplate headers, license
+    candidate SELF-join.  A hot bucket (boilerplate headers, license
     blocks — endemic in code corpora) is O(m²) WITHIN the bucket; one
-    10^5-doc bucket alone is 10^10 candidate pairs.  Excluding
-    oversized buckets is the standard Manku-et-al. guard: near-dup
-    pairs in a dropped bucket still collide via their other bands, and
-    the drop is enumerable via ``lsh_oversized_buckets``."""
+    10^5-doc bucket alone is 10^10 candidate pairs.  Oversized buckets
+    are NOT silently lost: they contribute linear STAR candidates
+    instead (``_star_pairs`` — a cluster identical in EVERY band, the
+    dedup-critical case, would otherwise produce zero pairs), and are
+    enumerable via ``lsh_oversized_buckets``."""
     if max_bucket is None:
         return buckets
     sizes = (buckets.groupBy(*key_cols).agg(F.count("*").alias("_bn"))
              .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     return buckets.join(sizes, key_cols, "left_semi")
+
+
+def _star_pairs(buckets: DataFrame, key_cols: list[str],
+                max_bucket: int) -> DataFrame:
+    """Linear candidates for OVERSIZED buckets: every member pairs with
+    the bucket's minimum doc_id (anchor/star linking) -> (doc_a,
+    doc_b), doc_a < doc_b, distinct.  O(m) per hot bucket instead of
+    O(m²), while keeping the cluster CONNECTED through the anchor —
+    downstream verify + union-find still resolves the whole duplicate
+    cluster; false band collisions are discarded by the caller's
+    verification step like any other candidate."""
+    big = (buckets.groupBy(*key_cols)
+           .agg(F.count("*").alias("_bn"),
+                F.min("doc_id").alias("_anchor"))
+           .filter(F.col("_bn") > max_bucket)
+           .select(*key_cols, "_anchor"))
+    return (buckets.join(big, key_cols)
+            .filter(F.col("doc_id") != F.col("_anchor"))
+            .select(F.col("_anchor").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"))
+            .distinct())
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -266,9 +288,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     signature fraction); threshold on that.  Returns
     (doc_a, doc_b, est_jaccard), doc_a < doc_b.
 
-    ``max_bucket``: buckets above this size are excluded from candidate
-    generation (see _cap_buckets — the within-bucket quadratic guard;
-    None disables).
+    ``max_bucket``: buckets above this size skip the quadratic
+    self-join and contribute linear STAR candidates instead (anchor =
+    bucket min doc_id; see _cap_buckets/_star_pairs — cluster
+    connectivity survives, candidate count stays O(m); None disables).
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes,
@@ -287,15 +310,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
                .select("doc_id", F.col("b.band").alias("band"),
                        F.col("b.bh").alias("bh")))
-    buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    small = _cap_buckets(buckets, ["band", "bh"], max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+                    F.col("b.doc_id").alias("doc_b")))
+    if max_bucket is not None:
+        cand = cand.unionAll(
+            _star_pairs(buckets, ["band", "bh"], max_bucket))
+    cand = cand.distinct()
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"),
@@ -435,8 +461,9 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     """Candidate pairs whose simhashes differ by <= max_hamming bits.
     Banding on 4x16-bit sub-keys (a pair within Hamming distance 3 must
     agree on at least one of 4 bands) then exact popcount verification.
-    ``max_bucket``: oversized sub-key buckets are excluded from the
-    self-join (_cap_buckets; None disables)."""
+    ``max_bucket``: oversized sub-key buckets skip the quadratic
+    self-join and contribute linear STAR candidates instead
+    (_cap_buckets/_star_pairs; None disables)."""
     # fingerprints feed both self-join sides: localCheckpoint (computed
     # once, GC-released — no storage leak across repeated calls)
     sh = simhash64(docs, id_col, text_col).localCheckpoint(eager=False)
@@ -449,16 +476,22 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                .select("doc_id", "simhash",
                        F.col("b.band").alias("band"),
                        F.col("b.key").alias("key")))
-    buckets = _cap_buckets(buckets, ["band", "key"], max_bucket)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    small = _cap_buckets(buckets, ["band", "key"], max_bucket)
+    a, b = small.alias("a"), small.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash").alias("ha"),
-                    F.col("b.simhash").alias("hb"))
-            .distinct())
+                    F.col("b.doc_id").alias("doc_b")))
+    if max_bucket is not None:
+        cand = cand.unionAll(_star_pairs(
+            buckets.select("doc_id", "band", "key"),
+            ["band", "key"], max_bucket))
+    cand = (cand.distinct()
+            .join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("simhash").alias("ha")), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"),
+                            F.col("simhash").alias("hb")), "doc_b"))
     return (cand.withColumn("hamming",
                             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .filter(F.col("hamming") <= max_hamming)

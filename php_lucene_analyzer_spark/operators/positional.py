@@ -566,21 +566,25 @@ def first_match_span(pos_postings: DataFrame,
                 raise ValueError(
                     "first_match_span needs an offsets index "
                     "(positional_postings(store_offsets=True))")
-            docs, freqs, _ = _decode_block(
-                r["doc_blob"], r["freq_blob"], r["pos_blob"])
-            gaps = vbyte_decode(r["pos_blob"])
+            # one VByte decode per blob: each doc's FIRST entry is its
+            # run start (per-doc gap reset makes the first gap the
+            # absolute value — no cumsum/carry or per-doc split needed
+            # in this serving path; review fix)
+            docs = np.cumsum(vbyte_decode(r["doc_blob"]),
+                             dtype=np.uint64).astype(np.int64)
+            freqs = vbyte_decode(r["freq_blob"]).astype(np.int64)
             starts_idx = np.concatenate(
                 ([0], np.cumsum(freqs)))[:-1].astype(np.int64)
-            cs = np.cumsum(gaps, dtype=np.uint64)
-            carry = np.zeros(len(starts_idx), dtype=np.uint64)
-            carry[1:] = cs[starts_idx[1:] - 1]
-            firsts = (cs[starts_idx] - carry).astype(np.int64)
-            abs_os, ol = _decode_offsets(r["ostart_blob"],
-                                         r["olen_blob"], freqs)
+            firsts = vbyte_decode(r["pos_blob"])[starts_idx] \
+                .astype(np.int64)
+            ostarts = vbyte_decode(r["ostart_blob"])[starts_idx] \
+                .astype(np.int64)
+            olens = vbyte_decode(r["olen_blob"])[starts_idx] \
+                .astype(np.int64)
             rows["doc_id"].append(docs)
             rows["first_pos"].append(firsts)
-            rows["start"].append(abs_os[starts_idx])
-            rows["end"].append(abs_os[starts_idx] + ol[starts_idx])
+            rows["start"].append(ostarts)
+            rows["end"].append(ostarts + olens)
         if not rows["doc_id"]:
             return pd.DataFrame({k: pd.Series(dtype="int64")
                                  for k in rows})

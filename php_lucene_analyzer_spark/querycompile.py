@@ -50,7 +50,10 @@ class _Leaf:
     leaf_id: int
     boost: float
     terms: tuple = ()          # resolved index terms (term atoms)
-    spec_id: int | None = None  # expansion placeholder
+    spec_ids: tuple = ()       # expansion placeholders (union of all
+                               # listed specs' expansions forms ONE
+                               # any-of group — a multi-token fuzzy
+                               # atom stays one clause, r3 semantics)
 
 
 @dataclass
@@ -77,8 +80,9 @@ class QueryPlan:
 
         def fin(node, boost_path, negative):
             if isinstance(node, _Leaf):
-                terms = node.terms if node.spec_id is None else tuple(
-                    t for t, _, _ in expansions[node.spec_id])
+                terms = node.terms if not node.spec_ids else tuple(
+                    sorted({t for sid in node.spec_ids
+                            for t, _, _ in expansions[sid]}))
                 if not negative:
                     w = boost_path * node.boost
                     for t in terms:
@@ -125,8 +129,9 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
     phrases: list[tuple] = []
     counter = {"leaf": 0}
 
-    def new_leaf(boost, terms=(), spec_id=None):
-        lf = _Leaf(counter["leaf"], boost, tuple(terms), spec_id)
+    def new_leaf(boost, terms=(), spec_ids=()):
+        lf = _Leaf(counter["leaf"], boost, tuple(terms),
+                   tuple(spec_ids))
         counter["leaf"] += 1
         return lf
 
@@ -202,11 +207,15 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
                     _attach(out, occ, new_leaf(a.boost, terms))
                 continue
             if a.kind == "fuzzy":
+                # all analyzed tokens' expansions merge into ONE any-of
+                # leaf — a multi-token fuzzy atom ("fooBar~") stays one
+                # clause (msm counts words, not subword fragments; a
+                # MUST fuzzy atom must not become a conjunction of
+                # per-fragment expansions — r3 semantics, review fix)
                 base = terms_of(a.value) or [a.value.lower()]
-                for t in base:
-                    sid = add_spec("fuzzy", a, neg, value=t,
-                                   edits=a.edits)
-                    _attach(out, occ, new_leaf(a.boost, spec_id=sid))
+                sids = [add_spec("fuzzy", a, neg, value=t,
+                                 edits=a.edits) for t in base]
+                _attach(out, occ, new_leaf(a.boost, spec_ids=sids))
                 continue
             if a.kind == "prefix":
                 sid = add_spec("prefix", a, neg, value=a.value.lower())
@@ -221,7 +230,7 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
                                incl_lo=a.incl_lo, incl_hi=a.incl_hi)
             else:
                 raise ValueError(f"unknown atom kind {a.kind!r}")
-            _attach(out, occ, new_leaf(a.boost, spec_id=sid))
+            _attach(out, occ, new_leaf(a.boost, spec_ids=(sid,)))
         return out
 
     root = conv(ast, 0, False)
@@ -229,7 +238,7 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
     must_phr = any(o == MUST for o, *_ in phrases)
     should_phr = any(o == SHOULD for o, *_ in phrases)
     if should_phr:
-        root_msm = 0 if has_must else 0   # msm applied relationally
+        root_msm = 0    # msm applied relationally after the phrase join
     else:
         root_msm = msm if has_must else max(msm, 1)
     plan = QueryPlan(root, specs, phrases, root_msm, counter["leaf"])

@@ -108,8 +108,7 @@ def _lex(q: str) -> list[tuple[str, str]]:
                              + (' (unbalanced quote?)' if q[i] == '"'
                                 else ""))
         i = m.end()
-        kind = m.lastgroup if m.lastgroup not in ("slop", "bval") \
-            else None
+        kind = None
         for k in ("ws", "lparen", "rparen", "and", "or", "not", "plus",
                   "minus", "field", "phrase", "regex", "range", "boost",
                   "word"):
@@ -270,7 +269,7 @@ def _scope_field(node, fld: str):
 
 def parse_query(q: str, default_operator: str = "OR") -> Bool:
     """Query string -> ``Bool`` AST.  Raises ValueError on unbalanced
-    quotes/parens, phrase slop, or untokenizable input."""
+    quotes/parens or untokenizable input."""
     if q.count('"') % 2:
         raise ValueError(f"unbalanced quotes in query: {q!r}")
     p = _Parser(_lex(q), default_operator)

@@ -333,3 +333,22 @@ def test_wdgf_default_flags_unchanged():
     b = [(x.term, x.pos_inc, x.pos_len)
          for x in word_delimiter_graph(t, flags=DEFAULT_FLAGS)]
     assert a == b == [("PowerShot", 1, 2), ("Power", 0, 1), ("Shot", 1, 1)]
+
+
+def test_wdgf_catenate_words_and_all_no_duplicates():
+    """Review fix: CATENATE_WORDS|CATENATE_ALL buffer the same word run
+    twice — the identical catenated token must emit ONCE."""
+    from php_lucene_analyzer_spark.analysis.tokenizer import Token
+    from php_lucene_analyzer_spark.analysis.word_delimiter import (
+        CATENATE_ALL, CATENATE_WORDS, DEFAULT_FLAGS, word_delimiter_graph)
+
+    toks = word_delimiter_graph(
+        [Token("wi-fi", 0, 5, 1, 1, "<ALPHANUM>")],
+        flags=DEFAULT_FLAGS | CATENATE_WORDS | CATENATE_ALL)
+    assert [t.term for t in toks].count("wifi") == 1
+    # mixed run: words-only catenation AND the all-catenation both emit
+    toks = word_delimiter_graph(
+        [Token("wi-fi-4000", 0, 10, 1, 1, "<ALPHANUM>")],
+        flags=DEFAULT_FLAGS | CATENATE_WORDS | CATENATE_ALL)
+    terms = [t.term for t in toks]
+    assert terms.count("wifi") == 1 and terms.count("wifi4000") == 1

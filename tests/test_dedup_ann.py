@@ -314,8 +314,10 @@ def test_minhash_fold_equals_scalar_fold():
 
 def test_lsh_bucket_cap_bounds_boilerplate_skew(spark):
     """Planted boilerplate: 2000 identical docs form ONE hot bucket per
-    band (O(m²) ~ 2M pairs per band uncapped).  With the cap the run
-    completes without the quadratic join, the drop is enumerable via
+    band (O(m²) ~ 2M pairs per band uncapped).  With the cap the hot
+    cluster contributes linear STAR candidates (each member paired to
+    the anchor = min doc_id — the cluster stays connected instead of
+    silently vanishing), the oversized buckets are enumerable via
     lsh_oversized_buckets, and true pairs in DISTINCT small buckets
     still surface."""
     import pyspark.sql.functions as F
@@ -335,7 +337,10 @@ def test_lsh_bucket_cap_bounds_boilerplate_skew(spark):
                                     max_bucket=100).collect()
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert (100001, 100002) in found      # small buckets still pair
-    assert not any(a < 100000 and b < 100000 for a, b in found)
+    # hot-cluster pairs are STAR-shaped (anchor 0), never all-pairs
+    boiler = [(a, b) for a, b in found if a < 100000 and b < 100000]
+    assert boiler and all(a == 0 for a, b in boiler)
+    assert len(boiler) == 1999            # every member linked once
     # the drop is recorded, not silent
     sigs = dedup.minhash_signatures(docs, n_hashes=16)
     bands = 4
@@ -354,8 +359,8 @@ def test_lsh_bucket_cap_bounds_boilerplate_skew(spark):
     assert rows and all(r["n"] == 2000 for r in rows)
     # uncapped (max_bucket=None) on the same input would enumerate
     # ~2000²/2 pairs per band — asserted structurally: the capped
-    # candidate count stays tiny
-    assert len(pairs) < 50
+    # candidate count stays LINEAR in the cluster size
+    assert len(pairs) < 2100
 
 
 def test_simhash_bucket_cap(spark):
@@ -371,7 +376,9 @@ def test_simhash_bucket_cap(spark):
                                     max_bucket=100).collect()
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert (200001, 200002) in found
-    assert not any(a < 200000 and b < 200000 for a, b in found)
+    bpairs = [(a, b) for a, b in found if a < 200000 and b < 200000]
+    assert bpairs and all(a == 0 for a, b in bpairs)   # star, not m²
+    assert len(bpairs) == 1499
 
 
 def test_minhash_oph_scheme_finds_planted_pairs(spark, ddocs):

@@ -269,3 +269,44 @@ def test_phrase_slop_parses_and_filters(idx, docs):
     want = [(d, s) for d, s in base if d in span_docs]
     assert got == sorted(want, key=lambda x: (-x[1], x[0]))[:10_000]
     assert got  # non-vacuous
+
+
+def test_must_phrase_with_should_phrase_not_empty(idx, docs):
+    """Review fix: '+\"p1\" \"p2\"' (required phrase + optional phrase,
+    no term clauses) must return the p1 docs scored by p2 — the r4.0
+    left-join against the empty term-kernel base made it always
+    empty."""
+    import re
+    toks = [t for t in re.split(r"[^a-zA-Z0-9]+",
+                                docs.filter("doc_id = 3")
+                                .collect()[0]["text"]) if t][:4]
+    p1, p2 = " ".join(toks[:2]), " ".join(toks[2:4])
+    got = {r["doc_id"]: r["score"]
+           for r in idx.query(f'+"{p1}" "{p2}"', k=10_000).collect()}
+    p1_docs = {r["doc_id"] for r in idx.phrase(p1).collect()}
+    assert set(got) == p1_docs and got
+    # docs also matching p2 carry a positive score; p1-only docs score 0
+    p2m = {r["doc_id"]: r["n_matches"] for r in idx.phrase(p2).collect()}
+    for d, s in got.items():
+        assert (s > 0) == (d in p2m)
+
+
+def test_multitoken_fuzzy_stays_one_group(idx):
+    """Review fix: a fuzzy atom whose analysis emits several tokens
+    (WDGF camelCase) compiles to ONE any-of group — '+fastMerge~1' must
+    not require an expansion of EVERY subword fragment."""
+    import pyspark.sql.functions as F
+
+    from php_lucene_analyzer_spark.operators.fulltext import expand_specs
+    from php_lucene_analyzer_spark.operators.wand import wand_topk_terms
+
+    got = _rows(idx.query("+fastMerge~1", k=10))
+    base = idx._terms("fastMerge")
+    assert len(base) > 1     # the atom really is multi-token
+    specs = [{"kind": "fuzzy", "value": t, "edits": 1, "field": None,
+              "cap": 64} for t in base]
+    exp = expand_specs(idx.tstats, specs)
+    union = sorted({t for lst in exp for t, _, _ in lst})
+    want = _rows(wand_topk_terms(idx.postings, idx.tstats, idx.n_docs,
+                                 idx.avgdl, union, 10))
+    assert got == want and got
