@@ -26,7 +26,8 @@ from collections.abc import Callable
 import pandas as pd
 import pyspark.sql.functions as F
 
-from .filters import ENGLISH_STOP_WORDS, lowercase, stop, synonyms
+from .filters import (ENGLISH_STOP_WORDS, compile_synonym_rules,
+                      lowercase, stop, synonym_graph, synonyms)
 from .porter2 import stem as porter2_stem
 from .tokenizer import (MAX_TOKEN_LEN, TYPE_ALPHANUM, TYPE_NUM, Token,
                         standard_tokenize, token_spans)
@@ -44,10 +45,20 @@ class Analyzer:
         self.word_delimiter = word_delimiter
         self.lower = lower
         self.stop_words = stop_words or frozenset()
-        # single-token synonym rules (filters.synonyms), applied after
-        # stop and BEFORE stemming so both sides of a rule stem — the
-        # usual Lucene chain order for SynonymGraphFilter
-        self.synonyms = {k: tuple(v) for k, v in (synonyms or {}).items()}
+        # synonym rules (r5: multi-token too — filters.synonym_graph),
+        # applied after stop and BEFORE stemming so both sides of a
+        # rule stem — the usual Lucene chain order for
+        # SynonymGraphFilter.  Keys and values are whitespace-split
+        # ("united states" -> a 2-token rule); single-token rules keep
+        # the r4 stacking behavior bit-for-bit.
+        self.synonyms = {k: tuple((v,) if isinstance(v, str) else v)
+                         for k, v in (synonyms or {}).items()}
+        self.syn_rules = compile_synonym_rules(self.synonyms)
+        # per-raw-token memoization is only sound when no rule crosses
+        # a token boundary on either side
+        self._syn_single = all(
+            len(kk) == 1 and all(len(o) == 1 for o in vv)
+            for kk, vv in self.syn_rules.items())
         self._stem = self._make_stemmer(stemmer, hunspell, morphology)
         self._pipe_cache: dict[str, tuple[str, ...]] = {}
 
@@ -80,7 +91,8 @@ class Analyzer:
         if self.stop_words:
             toks = stop(toks, self.stop_words)
         if self.synonyms:
-            toks = synonyms(toks, self.synonyms)
+            toks = synonym_graph(toks, self.syn_rules) \
+                if not self._syn_single else synonyms(toks, self.synonyms)
         out: list[Token] = []
         for t in toks:
             stems = self._stem(t.term)
@@ -109,6 +121,10 @@ class Analyzer:
         return v
 
     def terms(self, text: str) -> list[str]:
+        if self.synonyms and not self._syn_single:
+            # a rule crossing token boundaries can't use the per-raw
+            # memoized pipe — run the full graph chain
+            return [t.term for t in self.tokens(text)]
         if self.char_map is not None:
             text = self.char_map.apply(text)
         out: list[str] = []

@@ -45,6 +45,86 @@ def synonyms(tokens: list[Token],
     return out
 
 
+def synonym_graph(tokens: list[Token],
+                  rules: dict[tuple, list[tuple]]) -> list[Token]:
+    """SynonymGraphFilter + index-time FlattenGraphFilter semantics for
+    MULTI-TOKEN rules (keepOrig=true): ``rules`` maps an input term
+    SEQUENCE to output term sequences, e.g.
+    ``{("usa",): [("united", "states")],
+       ("united", "states"): [("usa",)]}``.
+
+    Matching is greedy longest-first over the stream's main path (the
+    first token at each position; WDGF/lemma stacks don't participate),
+    adjacency by stream order.  Lucene's graph output is flattened the
+    way index-time Lucene flattens it: output token j of a match
+    starting at position p lands at position p+j with pos_len 1 and the
+    MATCH SPAN's char offsets — for n(out) <= m(in) this is exactly the
+    flattened graph; for n > m the extra tokens overlap the following
+    positions (Lucene's documented index-time "sausage", what
+    FlattenGraphFilter produces).  Original tokens are never moved, so
+    phrase queries keep working against the original text.  No
+    re-matching inside a replaced span (Lucene).
+
+    Single-token rules degrade to exactly ``synonyms()`` stacking."""
+    if not tokens or not rules:
+        return tokens
+    pos_abs = []
+    p = -1
+    for t in tokens:
+        p += t.pos_inc
+        pos_abs.append(p)
+    main = [i for i, t in enumerate(tokens)
+            if t.pos_inc > 0 or i == 0]
+    max_len = max(len(k) for k in rules)
+    inserts: list[tuple[int, Token]] = []
+    i = 0
+    while i < len(main):
+        hit = None
+        for m in range(min(max_len, len(main) - i), 0, -1):
+            key = tuple(tokens[main[i + j]].term for j in range(m))
+            if key in rules:
+                hit = (m, rules[key])
+                break
+        if hit is None:
+            i += 1
+            continue
+        m, outs = hit
+        p0 = pos_abs[main[i]]
+        st = tokens[main[i]].start
+        en = tokens[main[i + m - 1]].end
+        for out_seq in outs:
+            for j, s in enumerate(out_seq):
+                inserts.append((p0 + j, Token(s, st, en, 0, 1,
+                                              tokens[main[i]].type)))
+        i += m
+    if not inserts:
+        return tokens
+    merged = [(pos_abs[i], 0, i, t) for i, t in enumerate(tokens)]
+    merged += [(p0, 1, j, t) for j, (p0, t) in enumerate(inserts)]
+    merged.sort(key=lambda x: (x[0], x[1], x[2]))
+    out: list[Token] = []
+    prev = -1
+    for p0, _k, _j, t in merged:
+        out.append(t._replace(pos_inc=p0 - prev))
+        prev = p0
+    return out
+
+
+def compile_synonym_rules(rules: dict) -> dict[tuple, list[tuple]]:
+    """User-facing rule map -> synonym_graph form: keys/values are
+    whitespace-split ("united states" -> ("united", "states")); values
+    may be a single string or an iterable of strings.  Rule TERMS must
+    already be in post-tokenize/lower/stop form (the chain applies the
+    filter after stop, before stemming)."""
+    out: dict[tuple, list[tuple]] = {}
+    for k, v in (rules or {}).items():
+        key = tuple(k.split())
+        if isinstance(v, str):
+            v = (v,)
+        out[key] = [tuple(s.split()) for s in v]
+    return out
+
+
 def stop(tokens: list[Token], stop_words: frozenset[str] = ENGLISH_STOP_WORDS) -> list[Token]:
     out: list[Token] = []
     hole = 0

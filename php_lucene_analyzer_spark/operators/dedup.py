@@ -277,7 +277,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 64,
                       bands: int = 16, shingle_k: int = 3,
                       min_jaccard: float = 0.5,
-                      max_bucket: int | None = 10_000,
+                      max_bucket: int | None = None,
                       scheme: str = "kfold") -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -290,8 +290,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     ``max_bucket``: buckets above this size skip the quadratic
     self-join and contribute linear STAR candidates instead (anchor =
-    bucket min doc_id; see _cap_buckets/_star_pairs — cluster
-    connectivity survives, candidate count stays O(m); None disables).
+    bucket min doc_id; see _cap_buckets/_star_pairs).  Default None =
+    exact recall (r3 behavior); callers opt in at scale.  Capping is
+    LOSSY beyond the anchor: members of a hot bucket only pair with
+    the anchor, so a true pair whose similarity to the anchor falls
+    below the verify threshold is dropped — connectivity holds only
+    within threshold of the anchor.  Audit trimmed buckets with
+    lsh_oversized_buckets.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes,
@@ -457,13 +462,15 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      max_bucket: int | None = 10_000) -> DataFrame:
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs whose simhashes differ by <= max_hamming bits.
     Banding on 4x16-bit sub-keys (a pair within Hamming distance 3 must
     agree on at least one of 4 bands) then exact popcount verification.
     ``max_bucket``: oversized sub-key buckets skip the quadratic
     self-join and contribute linear STAR candidates instead
-    (_cap_buckets/_star_pairs; None disables)."""
+    (_cap_buckets/_star_pairs; default None = exact recall, opt in at
+    scale — star capping drops true pairs farther than max_hamming
+    from the anchor)."""
     # fingerprints feed both self-join sides: localCheckpoint (computed
     # once, GC-released — no storage leak across repeated calls)
     sh = simhash64(docs, id_col, text_col).localCheckpoint(eager=False)

@@ -255,8 +255,29 @@ def fuzzy_expand(tstats: DataFrame, query_term: str, max_edits: int = 2,
             .select("term", "df", "dist"))
 
 
+class OversizedExpansion:
+    """Marker for a negative expansion too large to collect: iterates
+    as EMPTY (so plan.finalize drops it from the in-kernel term list)
+    and carries ``terms_df`` — the matched dictionary terms AS A
+    DATAFRAME — for the doc-set anti-join path (engine.query): matched
+    terms -> postings semi-join -> anti-join the doc ids.  The term
+    list never reaches the driver or a task closure (r4 VERDICT item
+    4: a ``-license*`` clause over a 40M-term vocabulary must not ship
+    millions of terms through one collect)."""
+
+    def __init__(self, sid: int, n_terms: int, terms_df: DataFrame):
+        self.sid = sid
+        self.n_terms = n_terms
+        self.terms_df = terms_df
+
+    def __iter__(self):
+        return iter(())
+
+
 def expand_specs(tstats: DataFrame, specs: list[dict],
-                 default_field: str | None = None) -> list[list[tuple]]:
+                 default_field: str | None = None,
+                 neg_collect_max: int | None = None,
+                 neg_docset_sids: set | None = None) -> list:
     """Expand EVERY dictionary-expansion clause of a query in ONE Spark
     job -> per-spec ``[(term, df, dist), ...]`` lists (terms AS STORED,
     i.e. field-prefixed for non-default fields), each sorted by term.
@@ -283,6 +304,14 @@ def expand_specs(tstats: DataFrame, specs: list[dict],
            where exclusion needs the full match set (Lucene's
            constant-score rewrite for multi-term queries in negative
            context; r3 ADVICE item 2)
+
+    ``neg_collect_max`` (r5): uncapped specs listed in
+    ``neg_docset_sids`` whose match COUNT exceeds this return an
+    ``OversizedExpansion`` (terms stay distributed as a DataFrame; the
+    caller anti-joins the doc set) instead of a collected list — one
+    cheap per-sid count agg decides, and the oversized sids are
+    filtered OUT of the collect.  None (default) keeps the full
+    collect for everything.
     """
     from functools import reduce
     from operator import or_
@@ -347,12 +376,35 @@ def expand_specs(tstats: DataFrame, specs: list[dict],
         w = Window.partitionBy("sid").orderBy(F.desc("df"), F.asc("term"))
         matched = (matched.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") <= cap_expr).drop("_rn"))
-    out: list[list[tuple]] = [[] for _ in specs]
+    out: list = [[] for _ in specs]
+    oversized: dict[int, int] = {}
+    if neg_collect_max is not None and neg_docset_sids:
+        check = sorted(s for s in neg_docset_sids
+                       if caps[s] is None)
+        if check:
+            # localCheckpoint: the count probe and the collect (and any
+            # later doc-set joins) reuse one evaluation of the scan
+            matched = matched.localCheckpoint(eager=False)
+            counts = {int(r["sid"]): int(r["n"]) for r in
+                      matched.filter(F.col("sid").isin(check))
+                      .groupBy("sid").agg(F.count("*").alias("n"))
+                      .collect()}
+            oversized = {s: n for s, n in counts.items()
+                         if n > neg_collect_max}
+            if oversized:
+                for s, n in oversized.items():
+                    out[s] = OversizedExpansion(
+                        s, n,
+                        matched.filter(F.col("sid") == s)
+                        .select("term"))
+                matched = matched.filter(
+                    ~F.col("sid").isin(sorted(oversized)))
     for r in matched.collect():
         out[int(r["sid"])].append(
             (r["term"], int(r["df"]), int(r["dist"])))
     for lst in out:
-        lst.sort()
+        if isinstance(lst, list):
+            lst.sort()
     return out
 
 

@@ -392,6 +392,32 @@ def compact_postings(postings: DataFrame,
             .applyInPandas(compact_group, schema=POSTINGS_SCHEMA))
 
 
+def matched_doc_ids(postings: DataFrame,
+                    terms_df: DataFrame) -> DataFrame:
+    """Distinct doc ids carrying ANY term of ``terms_df`` ->
+    (doc_id) — the doc-set form of a huge negative expansion
+    (engine.query's anti-join fallback, r4 VERDICT item 4): the term
+    set stays a DATAFRAME end to end (semi-join prunes the block scan;
+    blobs decode in a mapInPandas; distinct dedupes doc ids).  Nothing
+    term-shaped ever reaches the driver or a task closure."""
+    from ..functions.codec import delta_decode, vbyte_decode
+
+    sel = (postings.join(terms_df.select("term").distinct(), "term",
+                         "left_semi")
+           .select("doc_blob"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [delta_decode(vbyte_decode(bb)).astype(np.int64)
+                    for bb in pdf["doc_blob"]]
+            yield pd.DataFrame({"doc_id": np.unique(
+                np.concatenate(arrs))})
+
+    return sel.mapInPandas(gen, schema="doc_id long").distinct()
+
+
 def term_stats_from_postings(postings: DataFrame) -> DataFrame:
     """(term, df, cf) derived from block metadata — no corpus re-scan."""
     return postings.groupBy("term").agg(

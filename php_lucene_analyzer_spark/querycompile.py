@@ -15,8 +15,10 @@ expands, then ``finalize(expansions)`` yields:
                instance per positive-path leaf membership (Lucene: a
                term present in two clauses scores once per clause;
                leaves under a MUST_NOT never score)
-  phrases    — top-level phrase clauses [(occur, text, boost,
-               slop)];
+  phrases    — top-level phrase clauses [(occur, text, boost, slop,
+               field)] (field None = default; r5 allows any index
+               field — the positional table namespaces per-field
+               postings as "<field>\\x1fterm");
                nested phrases raise (documented: phrase constraints
                combine relationally with the kernel output, which is
                only defined at the root level)
@@ -166,12 +168,10 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
                         f'phrase "{a.value}" inside a parenthesized '
                         f"group is unsupported — phrase constraints "
                         f"apply at the top level")
-                if a.field is not None and a.field != default_field:
-                    raise ValueError(
-                        f"field-scoped phrase {a.field}:\"{a.value}\" "
-                        f"is unsupported — the positional index covers "
-                        f"the default field")
-                phrases.append((occ, a.value, a.boost, a.edits))
+                fld = check_field(a.field)
+                if fld == default_field:
+                    fld = None
+                phrases.append((occ, a.value, a.boost, a.edits, fld))
                 continue
             if a.kind == "term":
                 base = terms_of(a.value)
@@ -240,7 +240,12 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
     if should_phr:
         root_msm = 0    # msm applied relationally after the phrase join
     else:
-        root_msm = msm if has_must else max(msm, 1)
+        # the pure-SHOULD >=1 floor applies only when the query has NO
+        # required clause AT ALL — a MUST phrase is a required clause
+        # (Lucene BooleanQuery; r4 floored whenever no MUST *term*
+        # existed, silently requiring a should term alongside a
+        # required phrase)
+        root_msm = msm if (has_must or must_phr) else max(msm, 1)
     plan = QueryPlan(root, specs, phrases, root_msm, counter["leaf"])
     plan.has_must = has_must
     plan.must_phrases = must_phr

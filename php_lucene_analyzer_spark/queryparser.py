@@ -33,8 +33,19 @@ Documented divergences (execution, see FulltextIndex.query):
 * fuzzy/prefix/regex/range clauses expand against the term dictionary
   (positive clauses bounded df-descending — Lucene's top-terms rewrite;
   NEGATIVE clauses expand unbounded, since exclusion needs the full
-  match set — Lucene's constant-score rewrite role);
-* backslash escaping is not implemented (no escape processing).
+  match set — Lucene's constant-score rewrite role).
+
+Backslash escaping (r5): ``\`` escapes the next character anywhere in a
+term-ish token — Lucene's escape set (``\+ \- \! \( \) \: \^ \[ \] \"
+\{ \} \~ \* \? \\ \/`` and any other char) — so ``path\:to/file`` is
+one term, ``foo\-bar`` survives a leading minus, ``te\*t`` matches a
+literal ``*``.  Escaped chars never classify (an escaped ``*``/``?``
+is not a wildcard, an escaped trailing ``~`` is not fuzzy) and the
+stored Atom value is unescaped (wildcard atoms keep their escapes so
+the regex rewrite can distinguish literal from wildcard chars).  A
+detached boost (``a ^2``) or a trailing lone backslash is a parse
+error, as in Lucene.  Escapes inside field NAMES are not supported
+(field charset is identifier-only; documented).
 
 The parser produces a tree of ``Bool`` / ``Atom`` nodes; compilation
 onto the engine kernels lives in engine.FulltextIndex.query.
@@ -91,16 +102,20 @@ _TOKEN = re.compile(r"""
   | (?P<regex>/(?:[^/\\]|\\.)+/)
   | (?P<range>[\[{][^\[\]{}]*?\s+TO\s+[^\[\]{}]*?[\]}])
   | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
-  | (?P<word>[^\s()"^]+)
+  | (?P<word>(?:\\.|[^\s()"^\\])+)
 """, re.X)
 
-_FUZZY_SUFFIX = re.compile(r"^(?P<t>.+?)~(?P<d>[0-2])?$")
 _RANGE_INNER = re.compile(
     r"^(?P<open>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<close>[\]}])$")
 
 
-def _lex(q: str) -> list[tuple[str, str]]:
+def _lex(q: str) -> list[tuple[str, str, bool]]:
+    """-> [(kind, text, ws_before)] — ``ws_before`` marks tokens
+    preceded by whitespace (or start of input), so a detached boost
+    ``a ^2`` can be rejected (Lucene parse error) while ``a^2``
+    binds."""
     out, i = [], 0
+    ws = True
     while i < len(q):
         m = _TOKEN.match(q, i)
         if m is None:
@@ -116,13 +131,29 @@ def _lex(q: str) -> list[tuple[str, str]]:
                 kind = k
                 break
         if kind == "ws":
+            ws = True
             continue
-        out.append((kind, m.group(0)))
+        out.append((kind, m.group(0), ws))
+        ws = False
+    return out
+
+
+def _split_escapes(v: str) -> list[tuple[str, bool]]:
+    """Token text -> [(char, was_escaped)], resolving ``\\x`` pairs."""
+    out, i = [], 0
+    while i < len(v):
+        if v[i] == "\\" and i + 1 < len(v):
+            out.append((v[i + 1], True))
+            i += 2
+        else:
+            out.append((v[i], False))
+            i += 1
     return out
 
 
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]], default_operator: str):
+    def __init__(self, toks: list[tuple[str, str, bool]],
+                 default_operator: str):
         self.toks = toks
         self.i = 0
         self.op_and = default_operator.upper() == "AND"
@@ -133,7 +164,7 @@ class _Parser:
     def take(self) -> tuple[str, str]:
         t = self.toks[self.i]
         self.i += 1
-        return t
+        return t[0], t[1]
 
     # ---- Lucene QueryParserBase.addClause occur algebra ----
     def add_clause(self, clauses: list, conj: str | None,
@@ -229,22 +260,41 @@ class _Parser:
         if k == "word":
             if v in ("-", "+"):
                 return None         # dangling modifier: ignored
-            fz = _FUZZY_SUFFIX.match(v)
-            if fz and "*" not in v and "?" not in v:
-                d = fz.group("d")
+            # escape-aware classification: only UNESCAPED specials
+            # classify (``te\*t`` is a literal term, ``te*t`` a
+            # wildcard); stored values are unescaped except wildcard
+            # atoms, which keep escapes for the regex rewrite
+            pairs = _split_escapes(v)
+            raw = "".join(ch for ch, _ in pairs)
+            stars = any(ch == "*" and not esc for ch, esc in pairs)
+            quests = any(ch == "?" and not esc for ch, esc in pairs)
+            body, fz_edits = None, None
+            if len(pairs) >= 2 and pairs[-1] == ("~", False):
+                body, fz_edits = pairs[:-1], 2
+            elif (len(pairs) >= 3 and pairs[-1][0] in "012"
+                  and not pairs[-1][1] and pairs[-2] == ("~", False)):
+                body, fz_edits = pairs[:-2], int(pairs[-1][0])
+            if fz_edits is not None and not stars and not quests:
                 return self._with_boost(Atom(
-                    "fuzzy", fz.group("t"), field=fld,
-                    edits=int(d) if d else 2))
-            if v.endswith("*") and len(v) > 1 \
-                    and "*" not in v[:-1] and "?" not in v:
-                return self._with_boost(Atom("prefix", v[:-1], field=fld))
-            if ("*" in v or "?" in v) and v not in ("*", "?"):
+                    "fuzzy", "".join(ch for ch, _ in body), field=fld,
+                    edits=fz_edits))
+            if (pairs[-1] == ("*", False) and len(pairs) > 1
+                    and not any(ch == "*" and not esc
+                                for ch, esc in pairs[:-1])
+                    and not quests):
+                return self._with_boost(Atom(
+                    "prefix", "".join(ch for ch, _ in pairs[:-1]),
+                    field=fld))
+            if (stars or quests) and raw not in ("*", "?"):
                 return self._with_boost(Atom("wildcard", v, field=fld))
-            return self._with_boost(Atom("term", v, field=fld))
+            return self._with_boost(Atom("term", raw, field=fld))
         raise ValueError(f"unexpected {v!r} in query")
 
     def _with_boost(self, node):
-        if self.peek() == "boost":
+        # a boost binds only when it IMMEDIATELY follows its atom —
+        # ``a ^2`` is a Lucene parse error, not a boost on ``a``
+        # (the unconsumed boost token raises in parse_atom)
+        if self.peek() == "boost" and not self.toks[self.i][2]:
             _, v = self.take()
             b = float(v[1:])
             if isinstance(node, Atom):
@@ -269,8 +319,9 @@ def _scope_field(node, fld: str):
 
 def parse_query(q: str, default_operator: str = "OR") -> Bool:
     """Query string -> ``Bool`` AST.  Raises ValueError on unbalanced
-    quotes/parens or untokenizable input."""
-    if q.count('"') % 2:
+    quotes/parens, a detached boost, or untokenizable input.  Escaped
+    quotes (``\\"``) don't count toward balance."""
+    if re.sub(r"\\.", "", q).count('"') % 2:
         raise ValueError(f"unbalanced quotes in query: {q!r}")
     p = _Parser(_lex(q), default_operator)
     tree = p.parse_bool(0)
@@ -281,12 +332,14 @@ def parse_query(q: str, default_operator: str = "OR") -> Bool:
 
 def wildcard_to_regex(pattern: str) -> str:
     """Lucene WildcardQuery -> whole-term regex source: ``*`` -> ``.*``,
-    ``?`` -> ``.``, everything else literal."""
+    ``?`` -> ``.``, everything else literal.  Backslash-escaped chars
+    (``\\*`` etc.) are always literal — wildcard atoms keep their
+    escapes exactly so this rewrite can tell them apart."""
     out = []
-    for ch in pattern:
-        if ch == "*":
+    for ch, esc in _split_escapes(pattern):
+        if ch == "*" and not esc:
             out.append(".*")
-        elif ch == "?":
+        elif ch == "?" and not esc:
             out.append(".")
         else:
             out.append(re.escape(ch))

@@ -350,7 +350,9 @@ def test_query_many_bit_identical_and_one_job(idx, monkeypatch):
     assert len(calls) == 1 and calls[0] == 3  # fuzzy + prefix + range
 
 
-def test_query_many_phrases_raise(idx):
+def test_query_many_phrases_need_positional(idx):
+    """Phrase clauses in query_many are supported (r5) but still
+    require a positional index — a term-only index raises."""
     with pytest.raises(ValueError):
         idx.query_many({"p": '+"fast merge" value'})
 

@@ -1,0 +1,336 @@
+"""Round-5 behavior: phrase/NOT interaction fixes (r4 ADVICE 1-2),
+one-job phrase serving (query_many phrases, phrase_match_many),
+multiset sloppy phrases, oversized-negation doc-set anti-join,
+field-scoped phrases, escaped identifiers end-to-end, multi-token
+synonyms."""
+
+import itertools
+import re
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from php_lucene_analyzer_spark.engine import FulltextIndex
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, docs):
+    i = FulltextIndex.build(spark, docs.select("doc_id", "text"),
+                            ["doc_id"], text_col="text",
+                            positional=True)
+    yield i
+    i.close()
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _texts(docs):
+    return {r["doc_id"]: (r["text"] or "")
+            for r in docs.select("doc_id", "text").collect()}
+
+
+def _first_phrase(docs, n=2, doc_id=None):
+    from php_lucene_analyzer_spark.analysis import analyze
+    for r in docs.select("doc_id", "text").collect():
+        if doc_id is not None and r["doc_id"] != doc_id:
+            continue
+        toks = [t.term for t in analyze(r["text"] or "")
+                if t.pos_inc > 0]
+        if len(toks) >= n:
+            return " ".join(toks[:n])
+    raise RuntimeError("no doc with enough tokens")
+
+
+# ---------------------------------------------------------- ADVICE 1
+def test_must_not_term_excludes_phrase_framed_docs(pidx, docs):
+    """'+"<phrase>" -<term>' : docs containing the prohibited term
+    must be excluded even though the candidate frame is the phrase doc
+    set (r4 evaluated the NOT leaves nowhere in this branch)."""
+    phrase = _first_phrase(docs)
+    pdocs = {r["doc_id"] for r in pidx.phrase(phrase).collect()}
+    assert pdocs
+    # pick a term present in at least one phrase doc
+    from php_lucene_analyzer_spark.analysis import analyze
+    texts = _texts(docs)
+    some = sorted(pdocs)[0]
+    neg = next(t.term for t in analyze(texts[some])
+               if t.term not in set(phrase.split()))
+    got = {d for d, _ in _rows(pidx.query(
+        f'+"{phrase}" -{neg}', k=10_000))}
+    neg_docs = {r["doc_id"] for r in
+                pidx.search(neg, k=10_000).collect()}
+    want = pdocs - neg_docs
+    assert got == want
+    assert some not in got            # the known violator is gone
+
+
+def test_must_not_term_excludes_should_phrase_docs(pidx, docs):
+    """'<term> "<phrase>" -<neg>' (SHOULD phrase path): phrase-admitted
+    docs carrying the prohibited term are excluded (r4 re-admitted them
+    through the full-outer frame)."""
+    phrase = _first_phrase(docs)
+    pdocs = {r["doc_id"] for r in pidx.phrase(phrase).collect()}
+    from php_lucene_analyzer_spark.analysis import analyze
+    texts = _texts(docs)
+    some = sorted(pdocs)[0]
+    neg = next(t.term for t in analyze(texts[some])
+               if t.term not in set(phrase.split()))
+    got = {d for d, _ in _rows(pidx.query(
+        f'value "{phrase}" -{neg}', k=10_000))}
+    neg_docs = {r["doc_id"] for r in
+                pidx.search(neg, k=10_000).collect()}
+    assert not (got & neg_docs)
+    assert some not in got
+
+
+# ---------------------------------------------------------- ADVICE 2
+def test_empty_must_expansion_with_should_phrase_is_empty(pidx, docs):
+    """'+zzz* "<phrase>"': a MUST expansion matching nothing empties
+    the result (r4 raised AttributeError on NoneType.join)."""
+    phrase = _first_phrase(docs)
+    out = pidx.query(f'+zzzzzzq* "{phrase}"', k=10)
+    assert out.count() == 0
+
+
+# ----------------------------------------- must-phrase msm floor (r5)
+def test_must_phrase_keeps_docs_without_should_terms(pidx, docs):
+    """'"<phrase>" <term>' with a MUST phrase: the phrase is the
+    required clause, so docs matching ONLY the phrase stay (r4 floored
+    msm to 1 whenever no MUST *term* existed, silently requiring the
+    should term)."""
+    phrase = _first_phrase(docs)
+    pdocs = {r["doc_id"] for r in pidx.phrase(phrase).collect()}
+    got = {d for d, _ in _rows(pidx.query(
+        f'+"{phrase}" value', k=10_000))}
+    assert got == pdocs               # every phrase doc stays
+
+
+# ------------------------------------------------- multiset slop (r5)
+def test_sloppy_repeated_term_needs_distinct_occurrences(spark):
+    """'"a b a"~n' requires TWO distinct a-occurrences in the window
+    (r4 collapsed duplicates).  Checked against a brute-force minimal-
+    window enumerator with multiplicity."""
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, positional_postings)
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text):
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    rows = [
+        (0, "a b c d"),                  # one a: must NOT match "a b a"
+        (1, "a b x a"),                  # two a's, span 0..3
+        (2, "a a b"),                    # two a's adjacent
+        (3, "b a x x a"),                # two a's around b
+        (4, "x a b"),                    # one a
+        (5, "a x x x x x b a"),          # wide window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = positional_postings(docs.repartitionByRange(2, "doc_id"),
+                              "doc_id", "text", terms_fn=simple_terms)
+
+    def brute(toks, req, slop):
+        occ = [(p, t) for p, t in enumerate(toks) if t in req]
+        nreq = sum(req.values())
+        wins = set()
+        for combo in itertools.combinations(range(len(occ)), nreq):
+            cnt = {}
+            for i in combo:
+                cnt[occ[i][1]] = cnt.get(occ[i][1], 0) + 1
+            if cnt != req:
+                continue
+            lo, hi = occ[combo[0]][0], occ[combo[-1]][0]
+            if (hi - lo) - (nreq - 1) <= slop:
+                wins.add((lo, hi))
+        # minimal windows: no other window strictly inside
+        minimal = {(lo, hi) for lo, hi in wins
+                   if not any((l2 >= lo and h2 <= hi
+                               and (l2, h2) != (lo, hi))
+                              for l2, h2 in wins)}
+        return len(minimal)
+
+    req = {"a": 2, "b": 1}
+    for slop in (2, 4, 10):
+        got = {r["doc_id"]: r["n_matches"] for r in
+               phrase_match(pos, "a b a", terms_fn=simple_terms,
+                            slop=slop).collect()}
+        want = {}
+        for did, text in rows:
+            n = brute(simple_terms(text), req, slop)
+            if n:
+                want[did] = n
+        assert got == want, (slop, got, want)
+    assert 0 not in {r["doc_id"] for r in
+                     phrase_match(pos, "a b a", terms_fn=simple_terms,
+                                  slop=10).collect()}
+
+
+# --------------------------------------- one-job phrase serving (r5)
+def test_query_many_with_phrases_bit_identical(pidx, docs, monkeypatch):
+    """query_many accepts the full grammar incl. phrases and matches
+    per-query query() bit-for-bit, with ONE positional job for every
+    phrase of every query."""
+    import php_lucene_analyzer_spark.operators.positional as posmod
+
+    phrase = _first_phrase(docs)
+    phrase2 = _first_phrase(docs, n=3)
+    queries = {
+        "a": f'+"{phrase}" value',
+        "b": f'value "{phrase2}" -dup',
+        "c": f'+"{phrase}"',
+        "d": "(fast OR merge) AND stream",     # phraseless passes through
+        "e": f'stream -"{phrase}"',
+    }
+    want = {qid: _rows(pidx.query(q, k=8))
+            for qid, q in queries.items()}
+    calls = []
+    real = posmod.phrase_match_many
+
+    def counting(*a, **kw):
+        calls.append(len(a[1]))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(posmod, "phrase_match_many", counting)
+    # engine imports the symbol lazily from the module -> patch sticks
+    rows = pidx.query_many(queries, k=8).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid in queries:
+        got.setdefault(qid, []).sort(key=lambda x: (-x[1], x[0]))
+        assert got[qid] == want[qid], qid
+    assert len(calls) == 1 and calls[0] == 4   # 4 phrase clauses, 1 job
+
+
+def test_phrase_match_many_equals_single(pidx, docs):
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, phrase_match_many)
+
+    p1 = _first_phrase(docs)
+    p2 = _first_phrase(docs, n=3)
+    many = phrase_match_many(pidx.positional,
+                             {"x": (p1, 0), "y": (p2, 2)}).collect()
+    got = {}
+    for r in many:
+        got.setdefault(r["pid"], {})[r["doc_id"]] = r["n_matches"]
+    for pid, (ph, sl) in {"x": (p1, 0), "y": (p2, 2)}.items():
+        want = {r["doc_id"]: r["n_matches"] for r in
+                phrase_match(pidx.positional, ph, slop=sl).collect()}
+        assert got.get(pid, {}) == want, pid
+
+
+# ------------------------------------- oversized negation (VERDICT 4)
+def test_fat_negation_doc_set_anti_join(pidx, docs, monkeypatch):
+    """A huge negative expansion ('-<prefix>*' matching many terms)
+    must produce results identical to the collected path WITHOUT the
+    term list reaching the driver."""
+    import php_lucene_analyzer_spark.operators.fulltext as ftmod
+    from php_lucene_analyzer_spark.operators.fulltext import (
+        OversizedExpansion)
+
+    q = "value -s*"       # s* matches many terms at sf0.001
+    base = _rows(pidx.query(q, k=50))                 # collected path
+    got = _rows(pidx.query(q, k=50, neg_collect_max=5))
+    assert got == base and got
+
+    # prove the doc-set path engaged and never collected the list
+    seen = {}
+    real = ftmod.expand_specs
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        seen["oversized"] = [e for e in out
+                             if isinstance(e, OversizedExpansion)]
+        return out
+
+    monkeypatch.setattr(ftmod, "expand_specs", spy)
+    pidx.query(q, k=50, neg_collect_max=5).collect()
+    assert len(seen["oversized"]) == 1
+    assert seen["oversized"][0].n_terms > 5
+
+
+def test_fat_negation_with_phrase(pidx, docs):
+    phrase = _first_phrase(docs)
+    q = f'+"{phrase}" -s*'
+    base = _rows(pidx.query(q, k=50))
+    got = _rows(pidx.query(q, k=50, neg_collect_max=5))
+    assert got == base
+
+
+# ---------------------------------------- field-scoped phrases (r5)
+def test_field_scoped_phrase(spark):
+    rows = [
+        (0, "alpha beta gamma", "delta epsilon"),
+        (1, "delta epsilon zeta", "alpha beta"),
+        (2, "alpha gamma", "epsilon delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, a string, b string")
+    idx = FulltextIndex.build(spark, docs, ["doc_id"],
+                              fields=["a", "b"], positional=True)
+    try:
+        # phrase in the default field
+        got_a = {d for d, _ in _rows(idx.query('+"alpha beta"', k=10))}
+        assert got_a == {0}
+        # phrase scoped to field b
+        got_b = {d for d, _ in _rows(idx.query('+b:"alpha beta"',
+                                               k=10))}
+        assert got_b == {1}
+        got_b2 = {d for d, _ in _rows(idx.query('+b:"delta epsilon"',
+                                                k=10))}
+        assert got_b2 == {0}          # order matters: doc 2 has it reversed
+        # SHOULD field phrase scores
+        got = _rows(idx.query('b:"alpha beta" gamma', k=10))
+        assert {d for d, _ in got} == {0, 1, 2}
+    finally:
+        idx.close()
+
+
+# ------------------------------------- escaped identifiers (VERDICT 3)
+def test_escaped_identifiers_end_to_end(spark):
+    rows = [(0, "path:to/file loads config"),
+            (1, "other text entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = FulltextIndex.build(spark, docs, ["doc_id"], text_col="text")
+    try:
+        # the analyzer splits 'path:to/file'; an escaped colon query
+        # must parse as ONE term atom and analyze the same way
+        got = {d for d, _ in _rows(idx.query(r"path\:to/file", k=10))}
+        assert got == {0}
+        with pytest.raises(ValueError):
+            idx.query("path:to/file", k=10)   # unescaped: unknown field
+    finally:
+        idx.close()
+
+
+# ------------------------------------- multi-token synonyms (r5)
+def test_multi_token_synonyms_end_to_end(spark):
+    from php_lucene_analyzer_spark.analysis.analyzers import Analyzer
+
+    an = Analyzer(stemmer=None,
+                  synonyms={"usa": "united states",
+                            "united states": "usa"})
+    rows = [(0, "the usa economy"),
+            (1, "united states policy"),
+            (2, "france economy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = FulltextIndex.build(spark, docs, ["doc_id"], text_col="text",
+                              analyzer=an, positional=True)
+    try:
+        # querying the multi-word form finds the single-word doc…
+        got = {r["doc_id"] for r in idx.search("united states",
+                                               k=10).collect()}
+        assert {0, 1} <= got and 2 not in got
+        # …and the single-word form finds the multi-word doc
+        got2 = {r["doc_id"] for r in idx.search("usa", k=10).collect()}
+        assert {0, 1} <= got2
+        # phrase query over the inserted graph: "united states" as a
+        # phrase matches doc 0 through the flattened synonym path
+        ph = {r["doc_id"] for r in
+              idx.phrase("united states").collect()}
+        assert 1 in ph and 0 in ph
+    finally:
+        idx.close()
