@@ -10,11 +10,15 @@
 The single entry present in ``queries`` but not ``oracle_sql`` is the
 genuinely non-SQL-expressible one (``wand_fullchain``: the full analyzer
 chain + WAND engine — a SQL oracle cannot tokenize with WDGF/Porter2);
-it is validated instead by golden vectors and a pure-pandas oracle in
-tests/ (rows-only check here).  phrase/simhash/lsh entries run the REAL
-engine operators (positional index, Arrow-batched simhash, banded LSH)
-in their SQL-reproducible configuration, so the driver's value-hash gate
-covers them.
+it is validated by golden vectors pinned below and a pure-pandas oracle
+in tests/ (rows-only check here).  Since r5 the full-chain SCORER is
+additionally value-checked by ``wand_fullchain_sql``: the chain's token
+table materializes to parquet inside the Spark callable and the DuckDB
+oracle recomputes BM25 top-10 from it in pure SQL (r4 VERDICT item 9) —
+tokenization Spark-side, scoring independently verified.  phrase/
+simhash/lsh entries run the REAL engine operators (positional index,
+Arrow-batched simhash, banded LSH) in their SQL-reproducible
+configuration, so the driver's value-hash gate covers them.
 """
 
 from __future__ import annotations

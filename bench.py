@@ -138,6 +138,43 @@ def main() -> None:
     fidx.query_many(grouped, k=10).collect()
     timings["grouped_batched"] = round(time.time() - tq, 3)
 
+    # --- phrase serving over the positional index (r5: whole-bucket
+    # vectorized kernels).  The planted entry is a COMMON-term phrase —
+    # the shape whose candidate set made the r4 per-candidate-doc
+    # Python loop the hottest remaining loop (r4 VERDICT item 1) ---
+    from php_lucene_analyzer_spark.operators.positional import (
+        positional_postings)
+    pos = positional_postings(
+        docs.select("doc_id", "text").repartitionByRange(cpus, "doc_id"),
+        "doc_id", "text").cache()
+    pos.count()
+    pidx = FulltextIndex(spark, postings, tstats, n, avgdl,
+                         positional=pos)
+    top2 = [r["term"] for r in
+            tstats.orderBy(tstats.df.desc(), "term").limit(2).collect()]
+    common_phrase = " ".join(top2)
+    pidx.phrase(common_phrase).count()              # warm
+    tq = time.time()
+    n_common = pidx.phrase(common_phrase).count()
+    timings["phrase_common"] = round(time.time() - tq, 3)
+    extra["phrase_common_docs"] = n_common
+    # slop form exercises the vectorized minimal-window sweep
+    pidx.phrase(common_phrase, slop=8).count()      # warm
+    tq = time.time()
+    pidx.phrase(common_phrase, slop=8).count()
+    timings["phrase_common_slop"] = round(time.time() - tq, 3)
+    # phrase-bearing batched serving (r5: query_many full grammar —
+    # one expansion + one kernel + one positional job for the set)
+    grouped_ph = dict(grouped)
+    grouped_ph["g5"] = f'+"{common_phrase}" {top2[0]}'
+    grouped_ph["g6"] = f'{top2[1]} -"{common_phrase}"'
+    fidx_pos = pidx
+    fidx_pos.query_many(grouped_ph, k=10).collect()  # warm
+    tq = time.time()
+    fidx_pos.query_many(grouped_ph, k=10).collect()
+    timings["grouped_batched_phrases"] = round(time.time() - tq, 3)
+    pos.unpersist()
+
     # --- dedup signature throughput: vectorized (JVM shingle hash +
     # reduceat folds) vs the legacy per-doc/per-shingle Python path ---
     from php_lucene_analyzer_spark.operators.dedup import (

@@ -531,6 +531,47 @@ FROM g GROUP BY 1
 
 from .queries import GBOOL_CLAUSES, RANGE_QUERIES  # noqa: E402
 
+# ---- full-chain WAND scorer oracle (r5, VERDICT item 9) -------------
+# The Spark side (queries.q_wand_fullchain_sql) dumps the full-chain
+# token table to parquet; this SQL recomputes BM25 top-10 from it.
+# Query terms are the FULL CHAIN's analysis of the query strings,
+# computed here in Python (the same chain) and embedded as literals —
+# tokenization is Spark-verified upstream (tf/term_stats oracles);
+# what this row value-checks is the SCORER.  The driver's correctness
+# gate runs at sf0.01, so the path is pinned to that sf.
+from .analysis import analyze as _fc_analyze  # noqa: E402
+from .queries import FULLCHAIN_WAND_QUERIES, fullchain_dump_path  # noqa: E402
+
+_FC_QVALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, q in FULLCHAIN_WAND_QUERIES.items()
+    for t in sorted({tok.term for tok in _fc_analyze(q)}))
+_FC_PATH = fullchain_dump_path("/root/testdata/sf0.01") + "/*.parquet"
+
+ORACLES["wand_fullchain_sql"] = f"""
+WITH t AS (SELECT doc_id, term, tf, dl
+           FROM read_parquet('{_FC_PATH}')),
+stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n,
+                 sum(tf)::DOUBLE / count(DISTINCT doc_id) AS avgdl
+          FROM t),
+q(qid, term) AS (VALUES {_FC_QVALUES}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM t
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT q.qid, t.doc_id,
+         round(sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / stats.avgdl))),
+               4) AS score
+  FROM q JOIN t USING (term) JOIN dfq USING (term), stats
+  GROUP BY 1, 2)
+SELECT qid, rank, doc_id, score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM scores) WHERE rank <= 10
+"""
+
 _GBOOL_CLAUSES = ", ".join(
     f"('{qid}', {gid}, '{t}', '{role}')"
     for qid, groups in GBOOL_CLAUSES.items()

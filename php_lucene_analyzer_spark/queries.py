@@ -31,6 +31,23 @@ BM25_QUERIES = {
     "q4": ["slow", "customer", "value"],
 }
 
+# full-chain WAND contract set (r5, VERDICT item 9): the Lucene-parity
+# chain tokenizes Spark-side, the token table dumps to parquet, and the
+# DuckDB oracle recomputes BM25 top-10 from that table — the SCORER is
+# value-checked even though no SQL engine can run WDGF+Porter2
+FULLCHAIN_WAND_QUERIES = {
+    "w1": "fast merge join order",
+    "w2": "the spark stream batch",
+    "w3": "window sort vector",
+}
+
+
+def fullchain_dump_path(sf_dir: str) -> str:
+    import os
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/plas_fullchain_{base}.parquet"
+
+
 ANN_N_QUERIES = 5
 ANN_K = 5
 
@@ -904,6 +921,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=DECONTAM_N)
 
 
+def q_wand_fullchain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-chain BM25 scorer, VALUE-checked (r4 VERDICT item 9).
+
+    The full chain (WDGF/stop/Porter2 — operators/fulltext.py::
+    term_doc_freqs) tokenizes Spark-side; the (doc_id, term, tf, dl)
+    table is materialized to ``fullchain_dump_path(sf_dir)`` so the
+    DuckDB oracle can recompute BM25 top-10 per query IN PURE SQL from
+    the same tokens (oracles.py::wand_fullchain_sql) — idf form,
+    tf saturation, length norm, rank tie-break all independently
+    verified.  The engine side scores through block-max WAND over
+    postings built from the same table (the real serving path),
+    rounded to 4dp at the contract boundary and re-ranked on the
+    rounded score (the q_bm25_topk convention) so both engines rank
+    identically; WAND fetches k=40 raw so the rounded re-rank has
+    margin at the k=10 boundary."""
+    from .operators import fulltext as ft
+    from .operators.postings import build_postings
+    from .operators.wand import wand_topk_many
+
+    docs = _docs(spark, sf_dir)
+    tdf = ft.term_doc_freqs(docs, "doc_id", "text").cache()
+    (tdf.repartition(1).sortWithinPartitions("doc_id", "term")
+     .write.mode("overwrite").parquet(fullchain_dump_path(sf_dir)))
+    n, avgdl = ft.corpus_stats(tdf)
+    tstats = ft.term_stats(tdf)
+    postings = build_postings(tdf)
+    res = wand_topk_many(postings, tstats, n, avgdl,
+                         FULLCHAIN_WAND_QUERIES, k=40)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                          F.asc("doc_id"))
+    out = (res.withColumn("score", F.round(F.col("score"), 4))
+           .withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= 10)
+           .select("qid", "rank", "doc_id", "score"))
+    rows = out.collect()
+    tdf.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 QUERIES = {
     "tf": q_tf,
     "content_sha": q_content_sha,
@@ -937,4 +993,5 @@ QUERIES = {
     "lsh_pairs": q_lsh_pairs,
     "phrase_match": q_phrase_match,
     "decontaminate": q_decontaminate,
+    "wand_fullchain_sql": q_wand_fullchain_sql,
 }
