@@ -84,8 +84,10 @@ class FulltextIndex:
         stored bare; others stored "<field>\\x1f<term>" — see
         operators/postings.py::index_corpus).  Queries address them as
         ``field:term`` / ``field:(...)`` through ``query()``; BM25 uses
-        the FIELD's own avgdl (Lucene per-field norms).  The positional
-        index (phrases/highlighting) covers the default field."""
+        the FIELD's own avgdl (Lucene per-field norms).  With
+        ``positional=True`` EVERY field indexes positionally (r5), so
+        ``field:"exact phrase"`` works; highlighting offsets cover the
+        default field."""
         ids = ft.with_doc_ids(docs, order_cols, partitions).cache()
         n_docs = ids.count()
         default_col = fields[0] if fields else text_col

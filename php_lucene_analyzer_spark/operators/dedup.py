@@ -460,9 +460,61 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         gen, schema="doc_id long, simhash long")
 
 
+def simhash64_jvm(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — the ALL-JVM simhash (scale path, r4
+    VERDICT watch-list: the engine's simhash64 was the one remaining
+    Python-rate signature stage).  Whole pipeline in codegen:
+    lower/split/explode -> xxhash64 per token instance -> 64 sign-sum
+    aggregations (Σ over instances of ±1 per bit ≡ the tf-weighted
+    Charikar sum — no tf pre-agg needed) -> fingerprint reassembly via
+    shiftleft/bitwise_or.  One shuffle (groupBy doc_id), zero Python.
+
+    Fingerprints are NOT bit-compatible with ``simhash64`` (different
+    per-term hash: xxhash64 vs blake2b/md5); near-dup SEMANTICS are
+    identical, so choose per corpus size and stick with it.  Empty or
+    NULL docs fingerprint to 0, matching ``simhash64``.
+
+    MEASURED (r5, 100k docs, local[32]): 2.91 s vs the cached-Python
+    ``simhash64``'s 0.95 s — the groupBy shuffle + 64 agg buffers cost
+    more than the shuffle-free mapInPandas with a worker-lifetime
+    digest cache, confirming the r4 negative result on batch-global
+    formulations.  ``simhash64`` stays the default; this variant is
+    for environments where zero-Python execution is worth the 3x (or
+    where the digest cache would thrash — vocabularies far beyond the
+    4M-entry cap with non-Zipf term distribution)."""
+    base = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col),
+                                             F.lit(""))),
+                          r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        # materialize the hash ONCE per token instance — referencing
+        # F.xxhash64 inside each of the 64 agg expressions would
+        # re-evaluate it 64x per row
+        .select("doc_id", F.xxhash64("term").alias("_h")))
+    h = F.col("_h")
+    one = F.lit(1).cast("long")
+    aggs = [F.sum(F.shiftrightunsigned(h, b).bitwiseAND(one) * 2 - 1)
+            .alias(f"_b{b}") for b in range(64)]
+    acc = base.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"_b{b}") > 0, one).otherwise(
+            F.lit(0).cast("long"))
+        part = F.shiftleft(bit, b)
+        fp = part if fp is None else fp.bitwiseOR(part)
+    out = acc.select("doc_id", fp.alias("simhash"))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(out, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("simhash", F.lit(0)).alias("simhash")))
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      hasher: str = "blake2b") -> DataFrame:
     """Candidate pairs whose simhashes differ by <= max_hamming bits.
     Banding on 4x16-bit sub-keys (a pair within Hamming distance 3 must
     agree on at least one of 4 bands) then exact popcount verification.
@@ -473,7 +525,10 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     from the anchor)."""
     # fingerprints feed both self-join sides: localCheckpoint (computed
     # once, GC-released — no storage leak across repeated calls)
-    sh = simhash64(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = (simhash64_jvm(docs, id_col, text_col)
+          if hasher == "xxhash64"
+          else simhash64(docs, id_col, text_col, hasher)) \
+        .localCheckpoint(eager=False)
     band_cols = [F.struct(
         F.lit(bi).alias("band"),
         F.shiftrightunsigned(F.col("simhash"), bi * 16)

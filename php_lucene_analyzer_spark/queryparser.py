@@ -27,9 +27,10 @@ OR demotes its left neighbor to SHOULD.  Keywords are CASE-SENSITIVE
 
 Documented divergences (execution, see FulltextIndex.query):
 * phrase slop (``"a b"~2``) executes with SpanNearQuery(inOrder=false)
-  semantics — every distinct phrase term within a window of span
-  excess <= slop (operators/positional.py::phrase_match) — not
-  Lucene's classic SloppyPhraseScorer edit-distance accounting;
+  semantics — a window containing the phrase's term MULTISET (r5:
+  repeated terms need distinct occurrences) with span excess <= slop
+  (operators/positional.py::phrase_match) — not Lucene's classic
+  SloppyPhraseScorer edit-distance accounting;
 * fuzzy/prefix/regex/range clauses expand against the term dictionary
   (positive clauses bounded df-descending — Lucene's top-terms rewrite;
   NEGATIVE clauses expand unbounded, since exclusion needs the full

@@ -420,3 +420,62 @@ def test_oph_signature_properties():
             assert sig[1, b] == vals.min()
     # sparse doc (3 hashes): no sentinel survives densification
     assert (sig[2] != np.iinfo(np.uint64).max).all()
+
+
+def test_simhash64_jvm_matches_python_reconstruction(spark):
+    """simhash64_jvm (all-JVM scale path, r5): fingerprints equal a
+    Python reconstruction from the same per-term xxhash64 values (the
+    only Spark dependency in the reconstruction is xxhash64 itself),
+    and empty/NULL docs fingerprint to 0."""
+    import pyspark.sql.functions as F
+
+    from php_lucene_analyzer_spark.operators.dedup import simhash64_jvm
+
+    rows = [(0, "alpha beta alpha gamma"),
+            (1, "beta beta delta"),
+            (2, ""),
+            (3, None),
+            (4, "alpha beta alpha gamma"),     # dup of 0
+            (5, "  spaced\tout\nwords  ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash64_jvm(docs).collect()}
+
+    vocab = sorted({t for _d, x in rows for t in (x or "").lower().split()})
+    hs = {r["term"]: r["h"] & 0xFFFFFFFFFFFFFFFF for r in
+          spark.createDataFrame([(t,) for t in vocab], "term string")
+          .select("term", F.xxhash64("term").alias("h")).collect()}
+
+    def fp(text):
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for t in toks:
+            h = hs[t]
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    for d, text in rows:
+        assert got[d] == fp(text), (d, got[d], fp(text))
+    assert got[0] == got[4]
+    assert got[2] == 0 and got[3] == 0
+
+
+def test_simhash_near_dups_jvm_hasher(spark):
+    from php_lucene_analyzer_spark.operators.dedup import simhash_near_dups
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog " * 5),
+            (1, "the quick brown fox jumps over the lazy cat " * 5),
+            (2, "completely different content about spark engines")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             simhash_near_dups(docs, max_hamming=12,
+                               hasher="xxhash64").collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
