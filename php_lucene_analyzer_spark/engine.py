@@ -411,7 +411,7 @@ class FulltextIndex:
         association query_many's fold uses, so the two paths are
         bit-identical."""
         from .operators.boolean import boolean_tree_topk
-        from .operators.fulltext import B as _B, K1 as _K1, FIELD_SEP, idf
+        from .operators.fulltext import K1 as _K1, FIELD_SEP, idf
         from .operators.positional import phrase_match_many
         from .queryparser import MUST, MUST_NOT, SHOULD
 
@@ -457,14 +457,10 @@ class FulltextIndex:
                 self.postings, self.tstats, self.n_docs, self.avgdl,
                 nt, [], None).select("doc_id")
 
-        kcols = ["doc_id", "score"] + (["n_should"] if with_counts
-                                       else [])
         if plan.has_must:
             joined = kernel_out.join(pmp, "doc_id", "left")
         elif must_pids:
             joined = pmp
-            for pid in must_pids:
-                joined = joined.filter(F.col(pid).isNotNull())
             if kernel_out is not None:
                 joined = joined.join(kernel_out, "doc_id", "left")
             else:
@@ -496,7 +492,13 @@ class FulltextIndex:
                     score = score + F.col(pid).cast("double")
                 res = joined.select("doc_id", score.alias("score"))
             else:
-                res = joined.select("doc_id", "score")
+                # coalesce: the must-phrase frame left-joins kernel
+                # scores, so a phrase doc without any matched term
+                # carries NULL — the contract (and query_many) says 0.0
+                res = joined.select(
+                    "doc_id",
+                    F.coalesce(F.col("score"), F.lit(0.0))
+                    .alias("score"))
             return (res.orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k))
 
@@ -533,7 +535,8 @@ class FulltextIndex:
     def query_many(self, queries: dict[str, str], k: int = 10,
                    msm: int = 0, max_expansions: int = 64,
                    default_operator: str = "OR",
-                   multifield: bool = False) -> DataFrame:
+                   multifield: bool = False,
+                   neg_collect_max: int | None = None) -> DataFrame:
         """Execute a SET of classic-Lucene query strings in ONE Spark
         job per stage -> (qid, doc_id, score), bit-identical to
         per-query ``query()`` — the serving shape: every dictionary
@@ -546,10 +549,12 @@ class FulltextIndex:
         relationally per qid.  r4 raised on any phrase clause here —
         VERDICT item 2."""
         from .operators.boolean import boolean_tree_topk_many
-        from .operators.fulltext import FIELD_SEP, K1 as _K1, expand_specs, \
-            idf
+        from .operators.fulltext import (FIELD_SEP, K1 as _K1,
+                                         OversizedExpansion, expand_specs,
+                                         idf)
         from .operators.positional import phrase_match_many
-        from .querycompile import compile_query
+        from .operators.postings import matched_doc_ids
+        from .querycompile import _Leaf, compile_query
         from .queryparser import MUST, MUST_NOT, SHOULD, parse_query
 
         SEP = "\x00"
@@ -572,9 +577,22 @@ class FulltextIndex:
                 and self.positional is None:
             raise ValueError("phrase clauses need a positional index "
                              "(build(..., positional=True))")
+        # root-level negative expansions may switch to the doc-set
+        # anti-join above the threshold — same rule as query() (the r4
+        # fix applied only there; serving batches carry the same
+        # -huge* clauses)
+        root_neg_sids = {spans[qid][0] + sid
+                         for qid, p in plans.items()
+                         for lf in p.root.nots if isinstance(lf, _Leaf)
+                         for sid in lf.spec_ids}
+        ncm = self.NEG_COLLECT_MAX if neg_collect_max is None \
+            else neg_collect_max
         expansions = expand_specs(self.tstats, all_specs,
-                                  default_field=default_field) \
+                                  default_field=default_field,
+                                  neg_collect_max=ncm,
+                                  neg_docset_sids=root_neg_sids) \
             if all_specs else []
+        ext_not_many = None       # (qid, doc_id) excluded via doc sets
         trees, insts, all_inst_terms = {}, {}, set()
         qmeta: dict[str, dict] = {}
         k_map, counts_qids = {}, set()
@@ -591,16 +609,30 @@ class FulltextIndex:
                 continue                  # no positive evidence
             if p.has_must and not has_terms:
                 continue                  # empty MUST conjunction
-            meta = {"pure_phrase": not has_terms,
+            # count-ranking (sum of must-phrase n_matches) applies
+            # ONLY when no SHOULD phrase exists — a term-less query
+            # with SHOULD phrases scores them idf-weighted, exactly as
+            # query() does (review finding: the r5 first cut applied
+            # count-ranking to every term-less query)
+            meta = {"count_rank": not has_terms and not should_phr,
                     "has_must_terms": p.has_must,
                     "n_must_phr": len(must_phr),
                     "eff_msm": (msm if (p.has_must or must_phr)
                                 else max(msm, 1)) if should_phr else 0}
             qmeta[qid] = meta
+            ext_sids = [sid for sid in range(*spans[qid])
+                        if isinstance(expansions[sid],
+                                      OversizedExpansion)]
+            for sid in ext_sids:
+                ds = matched_doc_ids(
+                    self.postings, expansions[sid].terms_df) \
+                    .select(F.lit(qid).alias("qid"), "doc_id")
+                ext_not_many = ds if ext_not_many is None else \
+                    ext_not_many.union(ds)
             if has_terms:
                 trees[qid], insts[qid] = t, i
                 all_inst_terms.update(x for x, _, _ in i)
-                if phr:
+                if phr or ext_sids:
                     k_map[qid] = None     # post-filtered: no cuts
                 if should_phr:
                     counts_qids.add(qid)
@@ -654,9 +686,16 @@ class FulltextIndex:
             combined = kernel
             if "n_should" in combined.columns:
                 combined = combined.drop("n_should")
-            # scores already final; per-qid top-k (k_map is empty ->
-            # the kernel already cut); keep r4's exact output shape
-            return combined
+            if ext_not_many is None:
+                # scores already final; the kernel already cut
+                return combined
+            combined = combined.join(ext_not_many, ["qid", "doc_id"],
+                                     "left_anti")
+            from pyspark.sql import Window
+            w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                  F.asc("doc_id"))
+            return (combined.withColumn("_r", F.row_number().over(w))
+                    .filter(F.col("_r") <= k).drop("_r"))
 
         # ---- phrase stage: one positional job for every phrase ----
         # resolve SHOULD weights (one df lookup across all queries)
@@ -697,11 +736,11 @@ class FulltextIndex:
                             F.struct("idx", F.col("_c").alias("c"))))),
                         F.lit(0.0),
                         lambda acc, x: acc + x["c"]).alias("_p_score")))
-        qm_rows = [(qid, m["pure_phrase"], m["has_must_terms"],
+        qm_rows = [(qid, m["count_rank"], m["has_must_terms"],
                     m["n_must_phr"], m["eff_msm"])
                    for qid, m in qmeta.items()]
         qm = F.broadcast(self.spark.createDataFrame(
-            qm_rows, "qid string, pure_phrase boolean, "
+            qm_rows, "qid string, count_rank boolean, "
                      "has_must_terms boolean, n_must_phr int, "
                      "eff_msm int"))
         if "n_should" not in kernel.columns:
@@ -710,10 +749,13 @@ class FulltextIndex:
                   .join(qm, "qid"))
         if not_df is not None:
             joined = joined.join(not_df, ["qid", "doc_id"], "left_anti")
+        if ext_not_many is not None:
+            joined = joined.join(ext_not_many, ["qid", "doc_id"],
+                                 "left_anti")
         n_total = (F.coalesce(F.col("n_should"), F.lit(0))
                    + F.coalesce(F.col("_p_n"), F.lit(0)))
         score = F.when(
-            F.col("pure_phrase"),
+            F.col("count_rank"),
             F.lit(0.0) + F.coalesce(F.col("_must_nm"), F.lit(0))
             .cast("double")).otherwise(
             F.coalesce(F.col("score"), F.lit(0.0))
@@ -861,9 +903,15 @@ class FulltextIndex:
         positionally; the default field passes None)."""
         if self.positional is None:
             raise ValueError("index built without positional=True")
-        if field is not None and field == (self.fields[0]
-                                           if self.fields else None):
-            field = None
+        if field is not None:
+            # a typo'd field must fail loudly (query()'s check_field
+            # contract), not silently match nothing
+            if not self.fields or field not in self.fields:
+                raise ValueError(
+                    f"unknown field {field!r} (index fields: "
+                    f"{self.fields or []})")
+            if field == self.fields[0]:
+                field = None
         return phrase_match(self.positional, phrase, slop=slop,
                             field=field, analyzer=self.analyzer)
 

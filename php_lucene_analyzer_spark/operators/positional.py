@@ -279,19 +279,31 @@ def positional_postings(docs_with_ids: DataFrame, id_col: str = "doc_id",
         build, schema=POS_SCHEMA)
 
 
-def _decode_block(doc_blob: bytes, freq_blob: bytes,
-                  pos_blob: bytes) -> tuple[np.ndarray, np.ndarray, list]:
-    """-> (docs, freqs, per-doc absolute position arrays)."""
-    docs = np.cumsum(vbyte_decode(doc_blob), dtype=np.uint64).astype(np.int64)
+def _decode_arrays(doc_blob: bytes, freq_blob: bytes,
+                   pos_blob: bytes) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+    """One block's blobs -> (docs, freqs, FLAT absolute positions).
+
+    Absolute positions from per-doc-reset gaps: global cumsum, then
+    subtract each doc's carry-in (the cumsum just before its start).
+    Single source of truth for the decode — _decode_block adds the
+    per-doc split, _decode_flat concatenates across blocks."""
+    docs = np.cumsum(vbyte_decode(doc_blob),
+                     dtype=np.uint64).astype(np.int64)
     freqs = vbyte_decode(freq_blob).astype(np.int64)
     gaps = vbyte_decode(pos_blob)
     starts = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(np.int64)
-    # absolute positions from per-doc-reset gaps: global cumsum, then
-    # subtract each doc's carry-in (the cumsum just before its start)
     cs = np.cumsum(gaps, dtype=np.uint64)
     carry = np.zeros(len(starts), dtype=np.uint64)
     carry[1:] = cs[starts[1:] - 1]
     abs_pos = (cs - np.repeat(carry, freqs)).astype(np.int64)
+    return docs, freqs, abs_pos
+
+
+def _decode_block(doc_blob: bytes, freq_blob: bytes,
+                  pos_blob: bytes) -> tuple[np.ndarray, np.ndarray, list]:
+    """-> (docs, freqs, per-doc absolute position arrays)."""
+    docs, freqs, abs_pos = _decode_arrays(doc_blob, freq_blob, pos_blob)
     return docs, freqs, np.split(abs_pos, np.cumsum(freqs)[:-1])
 
 
@@ -339,18 +351,10 @@ def _decode_flat(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray,
     g = g.sort_values(["first_doc", "block_no"])
     d_parts, f_parts, p_parts = [], [], []
     for db, fb, pb in zip(g["doc_blob"], g["freq_blob"], g["pos_blob"]):
-        docs = np.cumsum(vbyte_decode(db),
-                         dtype=np.uint64).astype(np.int64)
-        freqs = vbyte_decode(fb).astype(np.int64)
-        gaps = vbyte_decode(pb)
-        starts = np.concatenate(([0], np.cumsum(freqs)))[:-1] \
-            .astype(np.int64)
-        cs = np.cumsum(gaps, dtype=np.uint64)
-        carry = np.zeros(len(starts), dtype=np.uint64)
-        carry[1:] = cs[starts[1:] - 1]
+        docs, freqs, abs_pos = _decode_arrays(db, fb, pb)
         d_parts.append(docs)
         f_parts.append(freqs)
-        p_parts.append((cs - np.repeat(carry, freqs)).astype(np.int64))
+        p_parts.append(abs_pos)
     return (np.concatenate(d_parts), np.concatenate(f_parts),
             np.concatenate(p_parts))
 

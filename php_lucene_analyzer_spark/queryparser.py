@@ -99,7 +99,7 @@ _TOKEN = re.compile(r"""
   | (?P<plus>\+)
   | (?P<minus>-(?=\S))
   | (?P<field>[A-Za-z_][A-Za-z0-9_.]*:(?!\s))
-  | (?P<phrase>"[^"]*"(?:~(?P<slop>\d+))?)
+  | (?P<phrase>"(?:\\.|[^"\\])*"(?:~(?P<slop>\d+))?)
   | (?P<regex>/(?:[^/\\]|\\.)+/)
   | (?P<range>[\[{][^\[\]{}]*?\s+TO\s+[^\[\]{}]*?[\]}])
   | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
@@ -236,8 +236,10 @@ class _Parser:
                 sub = _scope_field(sub, fld)
             return sub if sub.clauses else None
         if k == "phrase":
-            m = re.match(r'^"(?P<p>[^"]*)"(?:~(?P<slop>\d+))?$', v)
-            p = m.group("p").strip()
+            m = re.match(
+                r'^"(?P<p>(?:\\.|[^"\\])*)"(?:~(?P<slop>\d+))?$', v)
+            p = "".join(ch for ch, _e in
+                        _split_escapes(m.group("p"))).strip()
             if not p:
                 return None
             slop = int(m.group("slop") or 0)
