@@ -5,12 +5,13 @@ scripts/build_index.py.
     spark-submit --py-files plas.zip scripts/query_index.py \
         --workdir /path/to/index [-k 10] "query one" "query two" ...
 
-All queries evaluate in ONE Spark job (wand_topk_many — or
+All queries evaluate in ONE Spark job per stage (wand_topk_many — or
 engine.query_many with ``--syntax classic``, which parses full
 classic-Lucene strings: AND/OR/NOT, parens, field:term, boosts,
-ranges, wildcards, fuzzy; phrase clauses need the positional index
-and are not servable through this batched CLI).  Prints one JSON line
-per query: {"query": ..., "hits": [[doc_id, score], ...]}.
+ranges, wildcards, fuzzy, and (r5) phrases — a workdir saved with a
+positional index serves ``"exact phrase"`` clauses batched like
+everything else).  Prints one JSON line per query:
+{"query": ..., "hits": [[doc_id, score], ...]}.
 """
 
 from __future__ import annotations

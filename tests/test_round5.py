@@ -416,3 +416,15 @@ def test_escaped_quote_inside_phrase_parses(pidx):
     assert atoms[0].kind == "phrase" and atoms[0].value == 'say "hi" now'
     # executes without error (terms analyzed from the unescaped text)
     pidx.query(r'"say \"hi\" now"', k=3).collect()
+
+
+def test_query_many_phrase_plan_is_join_sane(pidx, docs):
+    """Physical-plan audit for the phrase serving path: metadata joins
+    broadcast, no cartesian products or nested-loop joins anywhere."""
+    phrase = _first_phrase(docs)
+    df = pidx.query_many({"a": f'+"{phrase}" value',
+                          "b": "stream -dup"}, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2   # qmeta + pid_meta
