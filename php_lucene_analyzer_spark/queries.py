@@ -941,7 +941,13 @@ def q_wand_fullchain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.wand import wand_topk_many
 
     docs = _docs(spark, sf_dir)
-    tdf = ft.term_doc_freqs(docs, "doc_id", "text").cache()
+    # eager localCheckpoint: the dump, stats, and postings all reuse
+    # one evaluation of the chain, and the returned DataFrame stays
+    # LAZY (the suite-wide audit bans driver collects in contract
+    # queries); the checkpoint is GC-released by the ContextCleaner —
+    # the compact() precedent
+    tdf = ft.term_doc_freqs(docs, "doc_id", "text") \
+        .localCheckpoint(eager=True)
     (tdf.repartition(1).sortWithinPartitions("doc_id", "term")
      .write.mode("overwrite").parquet(fullchain_dump_path(sf_dir)))
     n, avgdl = ft.corpus_stats(tdf)
@@ -951,13 +957,10 @@ def q_wand_fullchain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                          FULLCHAIN_WAND_QUERIES, k=40)
     w = Window.partitionBy("qid").orderBy(F.desc("score"),
                                           F.asc("doc_id"))
-    out = (res.withColumn("score", F.round(F.col("score"), 4))
-           .withColumn("rank", F.row_number().over(w).cast("long"))
-           .filter(F.col("rank") <= 10)
-           .select("qid", "rank", "doc_id", "score"))
-    rows = out.collect()
-    tdf.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return (res.withColumn("score", F.round(F.col("score"), 4))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "rank", "doc_id", "score"))
 
 
 QUERIES = {
