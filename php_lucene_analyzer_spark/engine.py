@@ -298,7 +298,12 @@ class FulltextIndex:
         Compilation (querycompile.py): the AST becomes a nested clause
         TREE for operators/boolean.py::boolean_tree_topk (Lucene
         BooleanQuery algebra per level; per-clause scoring, so a term in
-        two clauses scores per clause).  EVERY dictionary expansion
+        two clauses scores per clause).  NESTED phrases — ``(a OR
+        "b c")`` — execute by Shannon expansion (engine._nested_frame):
+        one shared-scan kernel job evaluates every phrase-membership
+        variant and each doc's actual matches select its row; at most 4
+        nested phrases per query (2^k variants); nested phrases gate
+        matching but do not score (documented).  EVERY dictionary expansion
         (fuzzy/prefix/wildcard/regex/range) runs in ONE Spark job
         (operators/fulltext.py::expand_specs); positive clauses cap at
         ``max_expansions`` df-descending (Lucene top-terms rewrite),
@@ -371,7 +376,7 @@ class FulltextIndex:
         else:
             av = self.avgdl
 
-        if not plan.phrases:
+        if not plan.phrases and not plan.nested:
             if not has_terms:
                 return empty
             if ext_not_df is None:
@@ -386,6 +391,136 @@ class FulltextIndex:
                     .limit(k))
         return self._combine_phrases(
             plan, tree, instances, av, k, msm, ext_not_df)
+
+    def _nested_frame(self, tree, instances, av, pmp, npids: list[str],
+                      with_counts: bool) -> DataFrame:
+        """Shannon-expansion frame for NESTED phrase leaves.
+
+        One shared-scan kernel job (boolean_tree_topk_many) evaluates
+        the tree under EVERY phrase-membership mask — a ``("phrase",
+        j)`` leaf becomes ``("all",)`` (the bucket's visible doc
+        universe) when bit j is set, an empty leaf otherwise — and each
+        doc's ACTUAL mask (from the phrase pivot columns) selects its
+        variant row relationally.  Docs invisible to the kernel (no
+        posting for any query term — enforced exactly by the ``seen``
+        pseudo-variant, which emits the bucket universes) join in when
+        their mask satisfies the tree with every term leaf false
+        (driver-side boolean evaluation per mask).  Nested phrases GATE
+        matching; they do not score (documented divergence — only
+        top-level SHOULD phrases score)."""
+        from .operators.boolean import boolean_tree_topk_many
+
+        kn = len(npids)
+
+        def subst(node, mask):
+            if node[0] == "phrase":
+                j = node[1]
+                return ("all",) if (mask >> j) & 1 else \
+                    ("leaf", -1 - j, ())
+            if node[0] == "node":
+                return ("node",
+                        tuple(subst(c, mask) for c in node[1]),
+                        tuple(subst(c, mask) for c in node[2]),
+                        tuple(subst(c, mask) for c in node[3]),
+                        node[4])
+            return node
+
+        def ev_tf(node, mask):
+            # tree truth value with every TERM leaf false — mirrors
+            # _t_match's per-node algebra
+            if node[0] == "phrase":
+                return bool((mask >> node[1]) & 1)
+            if node[0] == "all":
+                return True
+            if node[0] == "leaf":
+                return False
+            _, must, should, nots, m = node
+            if not all(ev_tf(c, mask) for c in must):
+                return False
+            cnt = sum(1 for c in should if ev_tf(c, mask))
+            if must:
+                if m and cnt < m:
+                    return False
+            elif cnt < max(m, 1):
+                return False
+            return not any(ev_tf(c, mask) for c in nots)
+
+        def any_terms(node):
+            if node[0] == "leaf":
+                return bool(node[2])
+            if node[0] == "node":
+                return any(any_terms(c)
+                           for c in node[1] + node[2] + node[3])
+            return False
+
+        allowed = [m for m in range(1 << kn) if ev_tf(tree, m)]
+        # the kernel must run whenever ANY leaf carries terms —
+        # including purely NEGATIVE leaves (no scoring instances, but
+        # the match algebra and the `seen` guard depend on their
+        # postings; a '(NOT t "<phrase>")' query has zero instances
+        # yet must exclude t-docs)
+        run_kernel = bool(instances) or any_terms(tree)
+        trees_v = {f"v{m}": subst(tree, m) for m in range(1 << kn)}
+        insts_v = {q: list(instances) for q in trees_v}
+        counts_qids = set(trees_v) if with_counts else None
+        want_seen = bool(allowed) and run_kernel
+        if want_seen:
+            # one leaf carrying EVERY tree term — the union of its
+            # postings IS the kernel-visible doc universe (an ("all",)
+            # leaf would carry no terms, so the many-kernel's per-qid
+            # term filter would feed it an empty bucket)
+            def tree_terms(node, acc):
+                if node[0] == "leaf":
+                    acc.update(node[2])
+                elif node[0] == "node":
+                    for c in node[1] + node[2] + node[3]:
+                        tree_terms(c, acc)
+                return acc
+
+            trees_v["seen"] = ("node", (), (
+                ("leaf", -1000, tuple(sorted(tree_terms(tree, set())))),
+            ), (), 1)
+            insts_v["seen"] = []
+        kern = boolean_tree_topk_many(
+            self.postings, self.tstats, self.n_docs, av, trees_v,
+            insts_v, None, k_map={q: None for q in trees_v},
+            counts_qids=counts_qids) if run_kernel else None
+
+        mask_expr = F.lit(0)
+        for j, npid in enumerate(npids):
+            mask_expr = mask_expr + F.when(
+                F.col(npid).isNotNull(), F.lit(1 << j)).otherwise(0)
+        base = pmp.withColumn("_mask", mask_expr)
+        if kern is None:
+            out = base.filter(F.col("_mask").isin(allowed)) if allowed \
+                else base.filter(F.lit(False))
+            out = out.withColumn("score", F.lit(None).cast("double"))
+            if with_counts:
+                out = out.withColumn("n_should",
+                                     F.lit(None).cast("int"))
+            return out.drop("_mask")
+        seen = None
+        if want_seen:
+            seen = (kern.filter(F.col("qid") == "seen")
+                    .select("doc_id", F.lit(True).alias("_seen")))
+            kern = kern.filter(F.col("qid") != "seen")
+        kv = kern.withColumn(
+            "_vm", F.substring(F.col("qid"), 2, 12).cast("int")) \
+            .drop("qid")
+        joined = base.join(kv, "doc_id", "full_outer")
+        if seen is not None:
+            joined = joined.join(seen, "doc_id", "left")
+        sel = F.col("_vm") == F.coalesce(F.col("_mask"), F.lit(0))
+        if allowed:
+            base_only = F.col("_vm").isNull() & \
+                F.col("_mask").isin(allowed)
+            if seen is not None:
+                base_only = base_only & F.col("_seen").isNull()
+            sel = sel | base_only
+        out = joined.filter(sel).drop("_mask", "_vm")
+        if seen is not None:
+            out = out.drop("_seen")
+        return out
 
     def _combine_phrases(self, plan, tree, instances, av, k: int,
                          msm: int,
@@ -421,59 +556,77 @@ class FulltextIndex:
                              "(build(..., positional=True))")
         has_terms = bool(instances)
         phr = list(plan.phrases)
+        nested = list(plan.nested)
+        if len(nested) > 4:
+            raise ValueError(
+                f"at most 4 nested phrase clauses per query "
+                f"({len(nested)} given) — each doubles the kernel "
+                f"variant count (Shannon expansion)")
         must_pids = [f"p{i}" for i, (o, *_r) in enumerate(phr)
                      if o == MUST]
         not_pids = [f"p{i}" for i, (o, *_r) in enumerate(phr)
                     if o == MUST_NOT]
         should_items = [(f"p{i}", p) for i, p in enumerate(phr)
                         if p[0] == SHOULD]
-        if not has_terms and not (must_pids or should_items):
+        if not has_terms and not (must_pids or should_items or nested):
             return empty
-        if plan.has_must and not has_terms:
+        if plan.has_must and not has_terms and not nested:
             # every MUST term/expansion clause expanded to nothing ->
-            # the conjunction is empty (r4 crashed here — ADVICE 2)
+            # the conjunction is empty (r4 crashed here — ADVICE 2);
+            # with nested phrases a MUST group can still match via the
+            # phrase path, so the variant machinery decides instead
             return empty
 
         pids_all = [f"p{i}" for i in range(len(phr))]
-        pm = phrase_match_many(
-            self.positional,
-            {f"p{i}": (text, slop, field)
-             for i, (_o, text, _b, slop, field) in enumerate(phr)},
-            analyzer=self.analyzer)
+        npids = [f"n{j}" for j in range(len(nested))]
+        pm_req = {f"p{i}": (text, slop, field)
+                  for i, (_o, text, _b, slop, field) in enumerate(phr)}
+        for j, (text, slop, field) in enumerate(nested):
+            pm_req[f"n{j}"] = (text, slop, field)
+        pm = phrase_match_many(self.positional, pm_req,
+                               analyzer=self.analyzer)
         pmp = (pm.groupBy("doc_id")
-               .pivot("pid", pids_all).agg(F.first("n_matches")))
+               .pivot("pid", pids_all + npids).agg(F.first("n_matches")))
 
         with_counts = bool(should_items)
-        kernel_out = boolean_tree_topk(
-            self.postings, self.tstats, self.n_docs, av, tree,
-            instances, None, with_counts=with_counts) if has_terms \
-            else None
-
-        # NOT-term doc set for frames the kernel doesn't bound
-        not_docs = None
-        if tree[3] and not plan.has_must:
-            nt = ("node", (), tree[3], (), 1)
-            not_docs = boolean_tree_topk(
-                self.postings, self.tstats, self.n_docs, self.avgdl,
-                nt, [], None).select("doc_id")
-
-        if plan.has_must:
-            joined = kernel_out.join(pmp, "doc_id", "left")
-        elif must_pids:
-            joined = pmp
-            if kernel_out is not None:
-                joined = joined.join(kernel_out, "doc_id", "left")
-            else:
-                joined = joined.withColumn(
-                    "score", F.lit(None).cast("double"))
-                if with_counts:
-                    joined = joined.withColumn(
-                        "n_should", F.lit(None).cast("int"))
+        if nested:
+            joined = self._nested_frame(tree, instances, av, pmp,
+                                        npids, with_counts)
+            not_docs = None     # base-only docs carry no query-term
+                                # postings (the `seen` exclusion), and
+                                # kernel-selected docs had NOT applied
+                                # per variant — nothing left to anti-join
         else:
-            joined = kernel_out.join(pmp, "doc_id", "full_outer") \
-                if kernel_out is not None else pmp.withColumn(
-                    "score", F.lit(None).cast("double")).withColumn(
-                    "n_should", F.lit(None).cast("int"))
+            kernel_out = boolean_tree_topk(
+                self.postings, self.tstats, self.n_docs, av, tree,
+                instances, None, with_counts=with_counts) if has_terms \
+                else None
+
+            # NOT-term doc set for frames the kernel doesn't bound
+            not_docs = None
+            if tree[3] and not plan.has_must:
+                nt = ("node", (), tree[3], (), 1)
+                not_docs = boolean_tree_topk(
+                    self.postings, self.tstats, self.n_docs, self.avgdl,
+                    nt, [], None).select("doc_id")
+
+            if plan.has_must:
+                joined = kernel_out.join(pmp, "doc_id", "left")
+            elif must_pids:
+                joined = pmp
+                if kernel_out is not None:
+                    joined = joined.join(kernel_out, "doc_id", "left")
+                else:
+                    joined = joined.withColumn(
+                        "score", F.lit(None).cast("double"))
+                    if with_counts:
+                        joined = joined.withColumn(
+                            "n_should", F.lit(None).cast("int"))
+            else:
+                joined = kernel_out.join(pmp, "doc_id", "full_outer") \
+                    if kernel_out is not None else pmp.withColumn(
+                        "score", F.lit(None).cast("double")).withColumn(
+                        "n_should", F.lit(None).cast("int"))
         for pid in must_pids:
             joined = joined.filter(F.col(pid).isNotNull())
         for pid in not_pids:
@@ -570,6 +723,11 @@ class FulltextIndex:
                               max_expansions, known_fields=known,
                               all_fields=(self.fields if multifield
                                           else None))
+            if p.nested:
+                raise ValueError(
+                    f"nested phrase clauses are unsupported in "
+                    f"query_many (query {qid!r}) — use query(); "
+                    f"top-level phrases batch fine")
             plans[qid] = p
             spans[qid] = (len(all_specs), len(all_specs) + len(p.specs))
             all_specs.extend(p.specs)

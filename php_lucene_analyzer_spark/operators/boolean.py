@@ -238,6 +238,16 @@ def _t_match(node, decoded, cache):
     got = cache.get(node)
     if got is not None:
         return got
+    if node[0] == "all":
+        # the bucket's visible doc universe (union of every decoded
+        # term's docs) — the Shannon-expansion stand-in for a nested
+        # phrase assumed TRUE; docs invisible to the kernel are added
+        # relationally by the engine (they carry no term evidence)
+        parts = [d[0] for d in decoded.values()]
+        m = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+        cache[node] = m
+        return m
     if node[0] == "leaf":
         parts = [decoded[t][0] for t in node[2] if t in decoded]
         if not parts:
@@ -318,6 +328,8 @@ def _tree_bucket(pdf: pd.DataFrame, tree, instances, k: int | None,
     effs: dict[int, np.ndarray] = {}
 
     def walk(node, eff):
+        if node[0] == "all":
+            return                  # no scoring instances beneath
         if node[0] == "leaf":
             m = cache[node]
             effs[node[1]] = m[np.isin(m, eff, assume_unique=True)] \
@@ -391,7 +403,7 @@ def boolean_tree_topk(postings: DataFrame, tstats: DataFrame, n_docs: int,
     def leaf_terms(node, acc):
         if node[0] == "leaf":
             acc.update(node[2])
-        else:
+        elif node[0] == "node":
             for c in node[1] + node[2] + node[3]:
                 leaf_terms(c, acc)
         return acc
@@ -449,7 +461,7 @@ def boolean_tree_topk_many(postings: DataFrame, tstats: DataFrame,
     def leaf_terms(node, acc):
         if node[0] == "leaf":
             acc.update(node[2])
-        else:
+        elif node[0] == "node":
             for c in node[1] + node[2] + node[3]:
                 leaf_terms(c, acc)
         return acc

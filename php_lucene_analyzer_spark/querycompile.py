@@ -18,10 +18,12 @@ expands, then ``finalize(expansions)`` yields:
   phrases    — top-level phrase clauses [(occur, text, boost, slop,
                field)] (field None = default; r5 allows any index
                field — the positional table namespaces per-field
-               postings as "<field>\\x1fterm");
-               nested phrases raise (documented: phrase constraints
-               combine relationally with the kernel output, which is
-               only defined at the root level)
+               postings as "<field>\\x1fterm")
+  nested     — NESTED phrase leaves [(text, slop, field)]; the tree
+               carries ("phrase", npid) where they sit, and the engine
+               evaluates them by Shannon expansion over membership
+               masks (engine._combine_phrases; nested phrases gate
+               matching, they do not score — documented)
 
 Occur algebra inside a level is Lucene BooleanQuery's; msm is baked
 into each node: nested levels use 1 when pure-SHOULD else 0; the root
@@ -70,9 +72,12 @@ class _Node:
 class QueryPlan:
     root: _Node
     specs: list
-    phrases: list               # [(occur, text, boost, slop)]
+    phrases: list               # [(occur, text, boost, slop, field)]
     msm: int
     n_leaves: int
+    nested: list = dfield(default_factory=list)
+                                # [(text, slop, field)] — nested
+                                # phrase leaves ("phrase", npid)
 
     def finalize(self, expansions: list[list[tuple]]):
         """expansions[i] = [(term, df, dist), ...] for specs[i] ->
@@ -81,6 +86,8 @@ class QueryPlan:
         instances: list[tuple] = []
 
         def fin(node, boost_path, negative):
+            if isinstance(node, tuple):
+                return node          # ("phrase", npid) nested leaf
             if isinstance(node, _Leaf):
                 terms = node.terms if not node.spec_ids else tuple(
                     sorted({t for sid in node.spec_ids
@@ -129,6 +136,7 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
     mean (documented)."""
     specs: list[dict] = []
     phrases: list[tuple] = []
+    nested: list[tuple] = []
     counter = {"leaf": 0}
 
     def new_leaf(boost, terms=(), spec_ids=()):
@@ -163,14 +171,21 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
                 continue
             a: Atom = child
             if a.kind == "phrase":
-                if depth > 0:
-                    raise ValueError(
-                        f'phrase "{a.value}" inside a parenthesized '
-                        f"group is unsupported — phrase constraints "
-                        f"apply at the top level")
                 fld = check_field(a.field)
                 if fld == default_field:
                     fld = None
+                if depth > 0:
+                    # NESTED phrase (r5): a ("phrase", npid) tree leaf —
+                    # the engine evaluates it by Shannon expansion over
+                    # phrase-membership masks (one shared-scan kernel
+                    # job for all 2^k variants) and selects each doc's
+                    # variant by its actual matches.  Nested phrases
+                    # GATE matching; they do not score (only top-level
+                    # SHOULD phrases score — documented divergence).
+                    npid = len(nested)
+                    nested.append((a.value, a.edits, fld))
+                    _attach(out, occ, ("phrase", npid))
+                    continue
                 phrases.append((occ, a.value, a.boost, a.edits, fld))
                 continue
             if a.kind == "term":
@@ -246,7 +261,8 @@ def compile_query(ast: Bool, terms_of, default_field: str | None,
         # existed, silently requiring a should term alongside a
         # required phrase)
         root_msm = msm if (has_must or must_phr) else max(msm, 1)
-    plan = QueryPlan(root, specs, phrases, root_msm, counter["leaf"])
+    plan = QueryPlan(root, specs, phrases, root_msm, counter["leaf"],
+                     nested)
     plan.has_must = has_must
     plan.must_phrases = must_phr
     plan.should_phrases = should_phr

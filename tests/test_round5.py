@@ -428,3 +428,93 @@ def test_query_many_phrase_plan_is_join_sane(pidx, docs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("BroadcastHashJoin") >= 2   # qmeta + pid_meta
+
+
+# ------------------------------------------- nested phrases (r5 late)
+def _contribs(pidx, term):
+    """{doc_id: BM25 contribution of one term} via the WAND engine."""
+    from php_lucene_analyzer_spark.operators.wand import wand_topk_terms
+    return {r["doc_id"]: r["score"] for r in
+            wand_topk_terms(pidx.postings, pidx.tstats, pidx.n_docs,
+                            pidx.avgdl, [term], 10_000).collect()}
+
+
+def test_nested_phrase_in_or_group(pidx, docs):
+    """'(t1 OR "<phrase>") AND t2': group satisfied by term OR nested
+    phrase; match set and scores checked against set algebra + summed
+    single-term contributions (nested phrases gate, they don't
+    score)."""
+    phrase = _first_phrase(docs)
+    pdocs = {r["doc_id"] for r in pidx.phrase(phrase).collect()}
+    c_value = _contribs(pidx, "valu")     # porter2 stem of 'value'
+    c_stream = _contribs(pidx, "stream")
+    got = {d: s for d, s in _rows(pidx.query(
+        f'(value OR "{phrase}") AND stream', k=100_000))}
+    want = {}
+    for d in (set(c_value) | pdocs) & set(c_stream):
+        exp = c_stream[d] + c_value.get(d, 0.0)
+        want[d] = exp
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == want[d], (d, got[d], want[d])
+    # at least one doc matched ONLY via the phrase (else the test is
+    # vacuous for the phrase path)
+    assert any(d not in c_value for d in got) or not (pdocs - set(c_value))
+
+
+def test_nested_phrase_only_group(pidx, docs):
+    """'+("<p1>" OR "<p2>")': a MUST group satisfied purely by nested
+    phrases — no term evidence anywhere (the base-only path)."""
+    p1 = _first_phrase(docs)
+    p2 = _first_phrase(docs, n=3)
+    d1 = {r["doc_id"] for r in pidx.phrase(p1).collect()}
+    d2 = {r["doc_id"] for r in pidx.phrase(p2).collect()}
+    got = {d for d, _ in _rows(pidx.query(f'+("{p1}" OR "{p2}")',
+                                          k=100_000))}
+    assert got == (d1 | d2)
+
+
+def test_nested_not_phrase_in_group(pidx, docs):
+    """'(stream AND NOT "<phrase>")': nested prohibited phrase excludes
+    within its group."""
+    phrase = _first_phrase(docs)
+    pdocs = {r["doc_id"] for r in pidx.phrase(phrase).collect()}
+    c_stream = _contribs(pidx, "stream")
+    got = {d: s for d, s in _rows(pidx.query(
+        f'(stream AND NOT "{phrase}")', k=100_000))}
+    want = {d: c_stream[d] for d in set(c_stream) - pdocs}
+    assert got == want
+
+
+def test_nested_phrase_with_prohibited_term_seen_guard(pidx, docs):
+    """'(NOT value "<phrase>")': docs carrying the prohibited term must
+    stay excluded even though they match the phrase — the doc has term
+    postings, so it must NOT re-enter through the kernel-invisible
+    (base-only) path.  This is exactly the `seen` pseudo-variant's
+    job."""
+    phrase = _first_phrase(docs)
+    pdocs = {r["doc_id"] for r in pidx.phrase(phrase).collect()}
+    c_value = _contribs(pidx, "valu")
+    got = {d for d, _ in _rows(pidx.query(
+        f'(NOT value "{phrase}")', k=100_000))}
+    assert got == pdocs - set(c_value)
+    assert got, "vacuous: no phrase doc without 'value'"
+
+
+def test_nested_phrase_empty_must_expansion_via_phrase(pidx, docs):
+    """'+(zzz* OR "<phrase>")': the MUST group's term expansion is
+    empty but the phrase satisfies it — must NOT early-return empty."""
+    phrase = _first_phrase(docs)
+    pdocs = {r["doc_id"] for r in pidx.phrase(phrase).collect()}
+    got = {d for d, _ in _rows(pidx.query(
+        f'+(zzzzzzq* OR "{phrase}")', k=100_000))}
+    assert got == pdocs
+
+
+def test_nested_phrase_limits_and_many_raise(pidx, docs):
+    phrase = _first_phrase(docs)
+    q5 = " ".join(f'("{phrase}" OR x{i})' for i in range(5))
+    with pytest.raises(ValueError):
+        pidx.query(q5)                    # >4 nested phrases
+    with pytest.raises(ValueError):
+        pidx.query_many({"q": f'(a OR "{phrase}")'})
