@@ -296,7 +296,7 @@ def _t_match(node, decoded, cache):
     return cand
 
 
-def _tree_bucket(pdf: pd.DataFrame, tree, instances, k: int | None,
+def _tree_bucket(pdf, tree, instances, k: int | None,
                  k1: float, b: float, with_counts: bool) -> pd.DataFrame:
     """Evaluate a compiled query TREE inside one doc-range bucket.
 
@@ -314,11 +314,18 @@ def _tree_bucket(pdf: pd.DataFrame, tree, instances, k: int | None,
     if with_counts:
         cols["n_should"] = pd.Series(dtype="int32")
     empty = pd.DataFrame(cols)
-    if not len(pdf):
+    if isinstance(pdf, dict):
+        # pre-decoded {term: (docs, tfs, dls)} — the many-kernel shares
+        # one decode across queries with identical term sets (nested-
+        # phrase Shannon variants decode 2^k times otherwise)
+        decoded = pdf
+    else:
+        if not len(pdf):
+            return empty
+        decoded = {term: _decode_term(g)
+                   for term, g in pdf.groupby("term")}
+    if not decoded:
         return empty
-    decoded: dict[str, tuple] = {}
-    for term, g in pdf.groupby("term"):
-        decoded[term] = _decode_term(g)
     cache: dict = {}
     cand = _t_match(tree, decoded, cache)
     if cand.size == 0:
@@ -487,12 +494,20 @@ def boolean_tree_topk_many(postings: DataFrame, tstats: DataFrame,
 
     def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
+        dec_cache: dict[frozenset, dict] = {}
         for qid, tree in trees.items():
             # restrict to THIS query's terms (the wand_topk_many rule:
-            # the union bucket would corrupt per-query statistics)
-            sub = pdf[pdf["term"].isin(qterms_alive[qid])]
+            # the union bucket would corrupt per-query statistics);
+            # queries with IDENTICAL term sets share one decode
+            key = frozenset(qterms_alive[qid])
+            dec = dec_cache.get(key)
+            if dec is None:
+                sub = pdf[pdf["term"].isin(key)]
+                dec = {term: _decode_term(g)
+                       for term, g in sub.groupby("term")}
+                dec_cache[key] = dec
             wc = qid in counts_qids
-            r = _tree_bucket(sub, tree, instances[qid],
+            r = _tree_bucket(dec, tree, instances[qid],
                              k_map.get(qid, k), k1, b, wc)
             if with_counts and not wc:
                 r["n_should"] = np.zeros(len(r), dtype=np.int32)
