@@ -285,7 +285,8 @@ class FulltextIndex:
               max_expansions: int = 64,
               default_operator: str = "OR",
               multifield: bool = False,
-              neg_collect_max: int | None = None) -> DataFrame:
+              neg_collect_max: int | None = None,
+              slop_mode: str = "lucene") -> DataFrame:
         """Execute a classic-Lucene query STRING -> (doc_id, score).
 
         Full grammar (queryparser.py): ``+ - NOT AND OR``, parenthesized
@@ -390,7 +391,7 @@ class FulltextIndex:
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k))
         return self._combine_phrases(
-            plan, tree, instances, av, k, msm, ext_not_df)
+            plan, tree, instances, av, k, msm, ext_not_df, slop_mode)
 
     def _nested_frame(self, tree, instances, av, pmp, npids: list[str],
                       with_counts: bool) -> DataFrame:
@@ -524,8 +525,8 @@ class FulltextIndex:
 
     def _combine_phrases(self, plan, tree, instances, av, k: int,
                          msm: int,
-                         ext_not_df: DataFrame | None = None
-                         ) -> DataFrame:
+                         ext_not_df: DataFrame | None = None,
+                         slop_mode: str = "lucene") -> DataFrame:
         """Phrase-bearing query() tail: ONE phrase_match_many job for
         every phrase clause, pivoted to per-phrase columns, combined
         with the term-kernel output relationally.
@@ -584,7 +585,8 @@ class FulltextIndex:
         for j, (text, slop, field) in enumerate(nested):
             pm_req[f"n{j}"] = (text, slop, field)
         pm = phrase_match_many(self.positional, pm_req,
-                               analyzer=self.analyzer)
+                               analyzer=self.analyzer,
+                               slop_mode=slop_mode)
         pmp = (pm.groupBy("doc_id")
                .pivot("pid", pids_all + npids).agg(F.first("n_matches")))
 
@@ -689,7 +691,8 @@ class FulltextIndex:
                    msm: int = 0, max_expansions: int = 64,
                    default_operator: str = "OR",
                    multifield: bool = False,
-                   neg_collect_max: int | None = None) -> DataFrame:
+                   neg_collect_max: int | None = None,
+                   slop_mode: str = "lucene") -> DataFrame:
         """Execute a SET of classic-Lucene query strings in ONE Spark
         job per stage -> (qid, doc_id, score), bit-identical to
         per-query ``query()`` — the serving shape: every dictionary
@@ -868,7 +871,8 @@ class FulltextIndex:
                 r[3] = boost * sum(idf(self.n_docs, dfs[x])
                                    for x in pterms if x in dfs)
         pm = phrase_match_many(self.positional, pm_req,
-                               analyzer=self.analyzer)
+                               analyzer=self.analyzer,
+                               slop_mode=slop_mode)
         pid_meta = F.broadcast(self.spark.createDataFrame(
             pid_meta_rows, "pid string, role string, idx int, w double"))
         nm = F.col("n_matches")
@@ -1051,11 +1055,15 @@ class FulltextIndex:
                                 ln.cast("int")).alias("snippet")))
 
     def phrase(self, phrase: str, slop: int = 0,
-               field: str | None = None) -> DataFrame:
+               field: str | None = None,
+               slop_mode: str = "lucene") -> DataFrame:
         """Phrase docs -> (doc_id, n_matches); needs
         ``build(..., positional=True)`` or a loaded positional dir.
         ``slop=0``: exact adjacency (graph positions); ``slop>0``:
-        span-near windows with multiset term coverage
+        Lucene PhraseQuery(slop) accounting by default
+        (``slop_mode="lucene"`` — order-sensitive, transposition costs
+        2), or ``slop_mode="span"`` for SpanNearQuery(inOrder=false)
+        windows with multiset term coverage
         (operators/positional.py::phrase_match).  ``field``: match in
         a non-default field (multi-field builds index every field
         positionally; the default field passes None)."""
@@ -1071,7 +1079,8 @@ class FulltextIndex:
             if field == self.fields[0]:
                 field = None
         return phrase_match(self.positional, phrase, slop=slop,
-                            field=field, analyzer=self.analyzer)
+                            field=field, analyzer=self.analyzer,
+                            slop_mode=slop_mode)
 
     # --------------------------------------------------------- save/load
     def save(self, path: str) -> None:

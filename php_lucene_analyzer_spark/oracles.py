@@ -14,7 +14,8 @@ from .queries import (ANN_K, ANN_N_QUERIES, BM25_QUERIES, BOOL_QUERIES,
                       DECONTAM_BENCH, DECONTAM_N, FUZZY_QUERIES, LSH_BANDS,
                       LSH_MIN_JACCARD, LSH_N_HASHES, HIGHLIGHT_QUERIES,
                       HIGHLIGHT_WINDOW, MLT_DOCS, MLT_K, MLT_MAX_TERMS,
-                      PHRASE_QUERIES, SUGGEST_K, SUGGEST_QUERIES)
+                      PHRASE_QUERIES, SLOPPY_QUERIES, SUGGEST_K,
+                      SUGGEST_QUERIES)
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
@@ -220,6 +221,46 @@ WITH t AS (SELECT doc_id,
 m AS ({" UNION ALL ".join(_phrase_arm(q, p)
                           for q, p in PHRASE_QUERIES.items())})
 SELECT qid, doc_id, n_matches FROM m WHERE n_matches > 0
+"""
+
+def _sloppy_arm(qid: str, phrase: str, slop: int) -> str:
+    """One SLOPPY_QUERIES arm: Lucene SloppyPhraseScorer accounting in
+    pure SQL — per phrase position i a stream of adjusted positions
+    (p - i), occurrence tuples joined per doc with spread <= slop, and
+    n_matches = count of windows minimal under containment (the
+    kernel's counting convention).  Repeat-free phrases only (no
+    distinctness bookkeeping — see queries.SLOPPY_QUERIES)."""
+    terms = [t for t in phrase.lower().split() if t]
+    streams = ", ".join(
+        f"""s{i} AS (SELECT doc_id,
+           unnest(list_filter(generate_series(1, len(toks)),
+                              x -> toks[x] = '{t}')) - {i} AS v
+         FROM t)""" for i, t in enumerate(terms))
+    joins = " ".join(f"JOIN s{i} ON s{i}.doc_id = s0.doc_id"
+                     for i in range(1, len(terms)))
+    vs = ", ".join(f"s{i}.v" for i in range(len(terms)))
+    return f"""
+  SELECT '{qid}' AS qid, doc_id, count(*)::BIGINT AS n_matches FROM (
+    WITH {streams},
+    wins AS (
+      SELECT DISTINCT s0.doc_id AS doc_id,
+             least({vs}) AS lo, greatest({vs}) AS hi
+      FROM s0 {joins}
+      WHERE greatest({vs}) - least({vs}) <= {slop})
+    SELECT w1.doc_id FROM wins w1
+    WHERE NOT EXISTS (SELECT 1 FROM wins w2 WHERE w2.doc_id = w1.doc_id
+      AND w2.lo >= w1.lo AND w2.hi <= w1.hi
+      AND (w2.lo <> w1.lo OR w2.hi <> w1.hi))
+  ) GROUP BY doc_id"""
+
+
+ORACLES["phrase_sloppy"] = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+           FROM documents)
+{" UNION ALL ".join(_sloppy_arm(q, p, s)
+                    for q, (p, s) in SLOPPY_QUERIES.items())}
 """
 
 ORACLES["decontaminate"] = f"""

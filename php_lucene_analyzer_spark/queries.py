@@ -64,6 +64,20 @@ PHRASE_QUERIES = {
     "p3": "the spark stream",
 }
 
+# sloppy-phrase contract set (r5): (phrase, slop) under Lucene
+# SloppyPhraseScorer accounting (phrase_match slop_mode="lucene" — the
+# classic parser's "a b"~n).  sp2 is sp1 transposed at a slop where the
+# order-sensitivity of the accounting shows in the results (a
+# transposition costs 2).  Repeat-free phrases only: the SQL oracle
+# enumerates occurrence tuples without distinctness bookkeeping (the
+# repeated-term path is covered by the property tests'
+# distinct-assignment brute force).
+SLOPPY_QUERIES = {
+    "sp1": ("merge join", 3),
+    "sp2": ("join merge", 2),
+    "sp3": ("fast scan table", 4),
+}
+
 # highlight contract set: query terms (any-of) + snippet half-window
 HIGHLIGHT_QUERIES = {
     "h1": ["merge", "join"],
@@ -815,6 +829,39 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_phrase_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy-phrase matching with Lucene SloppyPhraseScorer accounting
+    (PhraseQuery(slop) — the classic parser's ``"a b"~n``) through the
+    REAL positional index: order-sensitive adjusted-position spread
+    max(p_i - qpos_i) - min(p_i - qpos_i) <= slop
+    (operators/positional.py::_lucene_sloppy_bucket, the offset-stream
+    sweep).  n_matches counts globally minimal qualifying windows; the
+    DuckDB oracle reproduces that with occurrence-tuple enumeration
+    plus a containment anti-join.  Simplified tokenization (the
+    q_phrase_match pattern) so the oracle sees identical positions."""
+    import re
+
+    from .operators.positional import phrase_match, positional_postings
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text: str) -> list[str]:
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    docs = _docs(spark, sf_dir)
+    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+                              "doc_id", "text",
+                              terms_fn=simple_terms).localCheckpoint(eager=True)
+    out = None
+    for qid, (phrase, slop) in SLOPPY_QUERIES.items():
+        m = (phrase_match(pos, phrase, terms_fn=simple_terms,
+                          slop=slop, slop_mode="lucene")
+             .select(F.lit(qid).alias("qid"), "doc_id",
+                     F.col("n_matches").cast("long").alias("n_matches")))
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlighting (the Lucene highlighter package's role): anchor =
     earliest position of any query term from the REAL positional index
@@ -995,6 +1042,7 @@ QUERIES = {
     "simhash": q_simhash,
     "lsh_pairs": q_lsh_pairs,
     "phrase_match": q_phrase_match,
+    "phrase_sloppy": q_phrase_sloppy,
     "decontaminate": q_decontaminate,
     "wand_fullchain_sql": q_wand_fullchain_sql,
 }

@@ -1,4 +1,4 @@
-"""Lucene classic QueryParser — grammar-complete subset, AST output.
+r"""Lucene classic QueryParser — grammar-complete subset, AST output.
 
 The reference ships Lucene's ANALYSIS side only (grep-verified: no query
 code anywhere under /root/reference/src); the query-string contract this
@@ -26,11 +26,15 @@ OR demotes its left neighbor to SHOULD.  Keywords are CASE-SENSITIVE
 (``and`` is a term, ``AND`` an operator) — Lucene semantics.
 
 Documented divergences (execution, see FulltextIndex.query):
-* phrase slop (``"a b"~2``) executes with SpanNearQuery(inOrder=false)
-  semantics — a window containing the phrase's term MULTISET (r5:
-  repeated terms need distinct occurrences) with span excess <= slop
-  (operators/positional.py::phrase_match) — not Lucene's classic
-  SloppyPhraseScorer edit-distance accounting;
+* phrase slop (``"a b"~2``) executes with Lucene's SloppyPhraseScorer
+  accounting (r5): order-sensitive adjusted-position spread <= slop,
+  distinct occurrences per repeated term
+  (operators/positional.py::phrase_match, slop_mode="lucene"); the
+  remaining divergence is COUNTING only — n_matches counts minimal
+  qualifying windows where Lucene's phraseFreq sums 1/(1+matchLength)
+  over its greedy match enumeration (scoring weight, not matching);
+  SpanNearQuery(inOrder=false) window semantics stay available via
+  slop_mode="span";
 * fuzzy/prefix/regex/range clauses expand against the term dictionary
   (positive clauses bounded df-descending — Lucene's top-terms rewrite;
   NEGATIVE clauses expand unbounded, since exclusion needs the full
@@ -244,8 +248,8 @@ class _Parser:
                 return None
             slop = int(m.group("slop") or 0)
             # slop rides in `edits` (one int slot per leaf); execution
-            # maps "..."~n to SpanNearQuery(inOrder=false) semantics —
-            # see operators/positional.py::phrase_match(slop=...)
+            # maps "..."~n to SloppyPhraseScorer accounting — see
+            # operators/positional.py::phrase_match(slop_mode="lucene")
             return self._with_boost(Atom("phrase", p, field=fld,
                                          edits=slop))
         if k == "regex":

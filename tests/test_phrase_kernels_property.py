@@ -9,7 +9,7 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from php_lucene_analyzer_spark.operators.positional import (
-    _exact_phrase_bucket, _sloppy_phrase_bucket)
+    _exact_phrase_bucket, _lucene_sloppy_bucket, _sloppy_phrase_bucket)
 
 ALPHABET = ["a", "b", "c", "d"]
 
@@ -96,6 +96,62 @@ def test_sloppy_kernel_matches_bruteforce(docs, phrase, slop):
     want = {}
     for did, toks in enumerate(docs):
         n = _brute_sloppy(toks, req, slop)
+        if n:
+            want[did] = n
+    assert got == want
+
+
+def _brute_lucene(toks, qpos, slop):
+    """Lucene SloppyPhraseScorer accounting by exhaustive assignment:
+    one occurrence per phrase position (DISTINCT raw positions per
+    repeated term), adjusted spread max(p-o) - min(p-o) <= slop; count
+    globally minimal (containment) windows over adjusted values."""
+    occ = {}
+    for i, t in enumerate(toks):
+        occ.setdefault(t, []).append(i)
+    if any(t not in occ for t, _ in qpos):
+        return 0
+    valid = set()
+    for combo in itertools.product(*[occ[t] for t, _ in qpos]):
+        by_term = {}
+        ok = True
+        for (t, _o), p in zip(qpos, combo):
+            s = by_term.setdefault(t, set())
+            if p in s:
+                ok = False
+                break
+            s.add(p)
+        if not ok:
+            continue
+        adj = [p - o for (t, o), p in zip(qpos, combo)]
+        if max(adj) - min(adj) <= slop:
+            valid.add((min(adj), max(adj)))
+    return len({(lo, hi) for lo, hi in valid
+                if not any(l2 >= lo and h2 <= hi and (l2, h2) != (lo, hi)
+                           for l2, h2 in valid)})
+
+
+@settings(max_examples=150, deadline=None)
+@given(docs=docs_strategy,
+       phrase=st.lists(st.sampled_from(ALPHABET), min_size=1,
+                       max_size=4),
+       gaps=st.lists(st.integers(min_value=1, max_value=2), min_size=3,
+                     max_size=3),
+       slop=st.integers(min_value=0, max_value=6))
+def test_lucene_kernel_matches_bruteforce(docs, phrase, gaps, slop):
+    """_lucene_sloppy_bucket == exhaustive distinct-assignment brute
+    force — repeats exercise the per-doc exact path, gaps > 1 model
+    stopword holes (enablePositionIncrements)."""
+    pos = 0
+    qpos = []
+    for i, t in enumerate(phrase):
+        qpos.append((t, pos))
+        pos += gaps[i % len(gaps)]
+    d, c = _lucene_sloppy_bucket(_flat_from_docs(docs), qpos, slop)
+    got = dict(zip(d.tolist(), c.tolist()))
+    want = {}
+    for did, toks in enumerate(docs):
+        n = _brute_lucene(toks, qpos, slop)
         if n:
             want[did] = n
     assert got == want

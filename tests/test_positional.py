@@ -383,7 +383,7 @@ def test_phrase_match_slop_matches_bruteforce(spark, docs):
         terms = sorted(set(phrase.split()))
         got = {r["doc_id"]: r["n_matches"] for r in
                phrase_match(pos, phrase, terms_fn=simple_terms,
-                            slop=slop).collect()}
+                            slop=slop, slop_mode="span").collect()}
         want = {}
         for d, toks in texts.items():
             nm = brute(toks, terms, slop)

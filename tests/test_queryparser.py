@@ -257,16 +257,17 @@ def test_query_one_expansion_job(idx, monkeypatch):
 
 def test_phrase_slop_parses_and_filters(idx, docs):
     """"a b"~n no longer raises: it parses with the slop in `edits` and
-    executes as a span-near filter via phrase(slop=...)."""
+    executes as a sloppy-phrase filter via phrase(slop=...) — both
+    paths share the default slop_mode (lucene, r5)."""
     from php_lucene_analyzer_spark.queryparser import parse_query
     t = parse_query('+"fast join"~4 value')
     ph = next(c for _, c in t.clauses if c.kind == "phrase")
     assert ph.edits == 4
     got = _rows(idx.query('+"fast join"~4 +value', k=10_000))
-    span_docs = {r["doc_id"]
+    slop_docs = {r["doc_id"]
                  for r in idx.phrase("fast join", slop=4).collect()}
     base = _rows(idx.search_boolean(must=["value"], k=10_000))
-    want = [(d, s) for d, s in base if d in span_docs]
+    want = [(d, s) for d, s in base if d in slop_docs]
     assert got == sorted(want, key=lambda x: (-x[1], x[0]))[:10_000]
     assert got  # non-vacuous
 

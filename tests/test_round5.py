@@ -157,7 +157,7 @@ def test_sloppy_repeated_term_needs_distinct_occurrences(spark):
     for slop in (2, 4, 10):
         got = {r["doc_id"]: r["n_matches"] for r in
                phrase_match(pos, "a b a", terms_fn=simple_terms,
-                            slop=slop).collect()}
+                            slop=slop, slop_mode="span").collect()}
         want = {}
         for did, text in rows:
             n = brute(simple_terms(text), req, slop)
@@ -166,7 +166,7 @@ def test_sloppy_repeated_term_needs_distinct_occurrences(spark):
         assert got == want, (slop, got, want)
     assert 0 not in {r["doc_id"] for r in
                      phrase_match(pos, "a b a", terms_fn=simple_terms,
-                                  slop=10).collect()}
+                                  slop=10, slop_mode="span").collect()}
 
 
 # --------------------------------------- one-job phrase serving (r5)
@@ -518,3 +518,100 @@ def test_nested_phrase_limits_and_many_raise(pidx, docs):
         pidx.query(q5)                    # >4 nested phrases
     with pytest.raises(ValueError):
         pidx.query_many({"q": f'(a OR "{phrase}")'})
+
+
+# -------------------------------- Lucene sloppy accounting (late r5)
+def test_lucene_slop_is_order_sensitive(spark):
+    """slop_mode="lucene" (the default, PhraseQuery(slop) accounting):
+    a transposition costs 2 — '"a b"~1' must NOT match "b a", while
+    span mode (inOrder=false windows) does; '"a b"~2' matches."""
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, positional_postings)
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text):
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    rows = [
+        (0, "b a x x"),                  # transposed, adjacent
+        (1, "a b x x"),                  # in order
+        (2, "a x b x"),                  # in order, one gap
+        (3, "x b x a"),                  # transposed, spread 2 -> 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = positional_postings(docs.repartitionByRange(2, "doc_id"),
+                              "doc_id", "text", terms_fn=simple_terms)
+
+    def match(slop, mode):
+        return {r["doc_id"] for r in
+                phrase_match(pos, "a b", terms_fn=simple_terms,
+                             slop=slop, slop_mode=mode).collect()}
+
+    assert match(1, "lucene") == {1, 2}          # no transpositions
+    assert match(1, "span") == {0, 1, 2, 3}      # unordered window
+    assert match(2, "lucene") == {0, 1, 2}       # transposition costs 2
+    assert match(4, "lucene") == {0, 1, 2, 3}    # b@1,a@3: spread 3
+
+
+def test_lucene_slop_repeated_term_distinctness(spark):
+    """'"a x a"-shaped phrases under lucene accounting: one occurrence
+    cannot serve two phrase positions (the relaxed sweep would admit
+    it; the exact per-doc re-count must reject)."""
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, positional_postings)
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def simple_terms(text):
+        return [t for t in pat.split((text or "").lower()) if t]
+
+    rows = [
+        (0, "a b c"),                    # ONE a — must not match "a a"
+        (1, "a a b"),                    # two a's, adjacent
+        (2, "a x x a"),                  # two a's, spread 3-1=2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = positional_postings(docs.repartitionByRange(2, "doc_id"),
+                              "doc_id", "text", terms_fn=simple_terms)
+
+    def match(slop):
+        return {r["doc_id"] for r in
+                phrase_match(pos, "a a", terms_fn=simple_terms,
+                             slop=slop).collect()}
+
+    assert match(1) == {1}               # doc0's single a rejected
+    assert match(2) == {1, 2}
+
+
+def test_query_string_slop_uses_lucene_accounting(pidx, docs):
+    """'"t0 t1"~1' through the full parse->compile->serve path matches
+    exactly the lucene-mode phrase doc set (and differs from span mode
+    whenever the corpus contains a transposed-adjacent pair)."""
+    phrase = _first_phrase(docs)
+    luc = {r["doc_id"] for r in
+           pidx.phrase(phrase, slop=1, slop_mode="lucene").collect()}
+    got = {d for d, _ in _rows(pidx.query(f'+"{phrase}"~1', k=10_000))}
+    assert got == luc and got
+
+
+def test_phrase_match_many_per_entry_mode_override(pidx, docs):
+    """phrase_match_many: a 4th tuple element overrides the call-level
+    slop_mode per phrase — both semantics served from ONE job."""
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match, phrase_match_many)
+
+    ph = _first_phrase(docs)
+    many = phrase_match_many(
+        pidx.positional,
+        {"luc": (ph, 2, None, "lucene"), "spn": (ph, 2, None, "span")},
+        analyzer=pidx.analyzer).collect()
+    got = {}
+    for r in many:
+        got.setdefault(r["pid"], {})[r["doc_id"]] = r["n_matches"]
+    for pid, mode in (("luc", "lucene"), ("spn", "span")):
+        want = {r["doc_id"]: r["n_matches"] for r in
+                phrase_match(pidx.positional, ph, slop=2,
+                             analyzer=pidx.analyzer,
+                             slop_mode=mode).collect()}
+        assert got.get(pid, {}) == want, pid
