@@ -291,8 +291,10 @@ class FulltextIndex:
 
         Full grammar (queryparser.py): ``+ - NOT AND OR``, parenthesized
         sub-queries, ``field:term`` / ``field:(...)`` over a multi-field
-        index, phrases (MUST/MUST_NOT = positional filters; SHOULD =
-        scored clauses counting toward msm), fuzzy ``t~1``, prefix
+        index, phrases (MUST = required AND scored, MUST_NOT =
+        positional filter; SHOULD = scored + counts toward msm — r5:
+        required phrases score, as Lucene's BooleanScorer sums
+        required-clause scores), fuzzy ``t~1``, prefix
         ``p*``, wildcards ``t?st``, regex ``/re.x/``, ranges
         ``[a TO b]``/``{a TO b}``, boosts ``^2``.
 
@@ -542,6 +544,14 @@ class FulltextIndex:
         An unmatched MUST expansion empties the result instead of
         crashing the phrase join (ADVICE 2).
 
+        Scoring (r5, Lucene parity): every non-prohibited phrase —
+        MUST and SHOULD alike — contributes
+        boost x Σidf(phrase terms) x BM25 saturation of its match
+        count (Lucene's BooleanScorer sums the scores of required
+        clauses too; earlier rounds scored SHOULD phrases only and
+        ranked pure-phrase queries by raw match counts).  MUST_NOT
+        phrases never score; only SHOULD phrases count toward msm.
+
         Float contract: score = kernel_score + (0.0 + c_p0 + c_p1 + …)
         in phrase-id order with 0.0 for unmatched phrases — the same
         association query_many's fold uses, so the two paths are
@@ -638,36 +648,20 @@ class FulltextIndex:
         if ext_not_df is not None:
             joined = joined.join(ext_not_df, "doc_id", "left_anti")
 
-        if not should_items:
-            if not has_terms:
-                # pure-phrase ranking (r3 semantics): total required-
-                # phrase match count
-                score = F.lit(0.0)
-                for pid in must_pids:
-                    score = score + F.col(pid).cast("double")
-                res = joined.select("doc_id", score.alias("score"))
-            else:
-                # coalesce: the must-phrase frame left-joins kernel
-                # scores, so a phrase doc without any matched term
-                # carries NULL — the contract (and query_many) says 0.0
-                res = joined.select(
-                    "doc_id",
-                    F.coalesce(F.col("score"), F.lit(0.0))
-                    .alias("score"))
-            return (res.orderBy(F.desc("score"), F.asc("doc_id"))
-                    .limit(k))
-
-        # ---- SHOULD phrases: score + count toward msm
+        # ---- scoring: every MUST/SHOULD phrase contributes, in
+        # phrase-id order; SHOULD phrases additionally count toward msm
+        scoring_items = [(f"p{i}", p) for i, p in enumerate(phr)
+                         if p[0] != MUST_NOT]
         all_pterms = sorted({
             (f"{p[4]}{FIELD_SEP}{t}" if p[4] else t)
-            for _pid, p in should_items for t in self._terms(p[1])})
+            for _pid, p in scoring_items for t in self._terms(p[1])})
         dfs = {r["term"]: int(r["df"]) for r in
                _filter_terms(self.tstats, all_pterms)
                .select("term", "df").collect()} if all_pterms else {}
         n_total = F.coalesce(F.col("n_should"), F.lit(0)) \
             if with_counts and has_terms else F.lit(0)
         p_score = F.lit(0.0)
-        for pid, (_o, text, boost, _sl, field) in should_items:
+        for pid, (occ, text, boost, _sl, field) in scoring_items:
             pterms = [(f"{field}{FIELD_SEP}{t}" if field else t)
                       for t in self._terms(text)]
             w_p = boost * sum(idf(self.n_docs, dfs[t])
@@ -677,8 +671,15 @@ class FulltextIndex:
                 nm.isNotNull(),
                 F.lit(w_p) * nm * (_K1 + 1.0) / (nm + _K1))
             p_score = p_score + F.coalesce(contrib, F.lit(0.0))
-            n_total = n_total + F.when(nm.isNotNull(), 1).otherwise(0)
+            if occ == SHOULD:
+                n_total = n_total + F.when(nm.isNotNull(), 1) \
+                    .otherwise(0)
         score_total = F.coalesce(F.col("score"), F.lit(0.0)) + p_score
+        if not should_items:
+            return (joined
+                    .withColumn("_s", score_total)
+                    .select("doc_id", F.col("_s").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         eff_msm = msm if (plan.has_must or must_pids) else max(msm, 1)
         return (joined
                 .withColumn("_n", n_total)
@@ -770,13 +771,7 @@ class FulltextIndex:
                 continue                  # no positive evidence
             if p.has_must and not has_terms:
                 continue                  # empty MUST conjunction
-            # count-ranking (sum of must-phrase n_matches) applies
-            # ONLY when no SHOULD phrase exists — a term-less query
-            # with SHOULD phrases scores them idf-weighted, exactly as
-            # query() does (review finding: the r5 first cut applied
-            # count-ranking to every term-less query)
-            meta = {"count_rank": not has_terms and not should_phr,
-                    "has_must_terms": p.has_must,
+            meta = {"has_must_terms": p.has_must,
                     "n_must_phr": len(must_phr),
                     "eff_msm": (msm if (p.has_must or must_phr)
                                 else max(msm, 1)) if should_phr else 0}
@@ -804,7 +799,9 @@ class FulltextIndex:
                     role = {"MUST": "m", "MUST_NOT": "n",
                             "SHOULD": "s"}[occ]
                     w = 0.0
-                    if occ == SHOULD:
+                    if occ != MUST_NOT:
+                        # MUST phrases score too (r5 Lucene parity —
+                        # same weight formula as SHOULD)
                         pterms = [(f"{field}{FIELD_SEP}{x}" if field
                                    else x) for x in self._terms(text)]
                         w = (boost, tuple(pterms))  # df lookup later
@@ -859,14 +856,14 @@ class FulltextIndex:
                     .filter(F.col("_r") <= k).drop("_r"))
 
         # ---- phrase stage: one positional job for every phrase ----
-        # resolve SHOULD weights (one df lookup across all queries)
-        sterms = sorted({x for r in pid_meta_rows if r[1] == "s"
+        # resolve scoring weights (one df lookup across all queries)
+        sterms = sorted({x for r in pid_meta_rows if r[1] != "n"
                          for x in r[3][1]})
         dfs = {r["term"]: int(r["df"]) for r in
                _filter_terms(self.tstats, sterms)
                .select("term", "df").collect()} if sterms else {}
         for r in pid_meta_rows:
-            if r[1] == "s":
+            if r[1] != "n":
                 boost, pterms = r[3]
                 r[3] = boost * sum(idf(self.n_docs, dfs[x])
                                    for x in pterms if x in dfs)
@@ -880,16 +877,13 @@ class FulltextIndex:
         agg = (pm.join(pid_meta, "pid")
                .select(F.substring_index("pid", SEP, 1).alias("qid"),
                        "doc_id", "role", "idx", "n_matches",
-                       F.when(F.col("role") == "s", contrib)
+                       F.when(F.col("role") != "n", contrib)
                        .alias("_c"))
                .groupBy("qid", "doc_id")
                .agg(F.sum(F.when(F.col("role") == "m", 1)
                           .otherwise(0)).alias("_n_must"),
                     F.max(F.when(F.col("role") == "n", 1)
                           .otherwise(0)).alias("_any_not"),
-                    F.sum(F.when(F.col("role") == "m",
-                                 F.col("n_matches")).otherwise(0))
-                    .alias("_must_nm"),
                     F.sum(F.when(F.col("role") == "s", 1)
                           .otherwise(0)).alias("_p_n"),
                     F.aggregate(
@@ -898,13 +892,12 @@ class FulltextIndex:
                             F.struct("idx", F.col("_c").alias("c"))))),
                         F.lit(0.0),
                         lambda acc, x: acc + x["c"]).alias("_p_score")))
-        qm_rows = [(qid, m["count_rank"], m["has_must_terms"],
+        qm_rows = [(qid, m["has_must_terms"],
                     m["n_must_phr"], m["eff_msm"])
                    for qid, m in qmeta.items()]
         qm = F.broadcast(self.spark.createDataFrame(
-            qm_rows, "qid string, count_rank boolean, "
-                     "has_must_terms boolean, n_must_phr int, "
-                     "eff_msm int"))
+            qm_rows, "qid string, has_must_terms boolean, "
+                     "n_must_phr int, eff_msm int"))
         if "n_should" not in kernel.columns:
             kernel = kernel.withColumn("n_should", F.lit(0).cast("int"))
         joined = (kernel.join(agg, ["qid", "doc_id"], "full_outer")
@@ -916,12 +909,9 @@ class FulltextIndex:
                                  "left_anti")
         n_total = (F.coalesce(F.col("n_should"), F.lit(0))
                    + F.coalesce(F.col("_p_n"), F.lit(0)))
-        score = F.when(
-            F.col("count_rank"),
-            F.lit(0.0) + F.coalesce(F.col("_must_nm"), F.lit(0))
-            .cast("double")).otherwise(
-            F.coalesce(F.col("score"), F.lit(0.0))
-            + (F.lit(0.0) + F.coalesce(F.col("_p_score"), F.lit(0.0))))
+        score = (F.coalesce(F.col("score"), F.lit(0.0))
+                 + (F.lit(0.0)
+                    + F.coalesce(F.col("_p_score"), F.lit(0.0))))
         res = (joined
                .filter(~F.col("has_must_terms")
                        | F.col("score").isNotNull())

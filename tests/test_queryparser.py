@@ -160,8 +160,13 @@ def test_query_wildcard_equals_regex(idx):
     assert got == want and got
 
 
-def test_query_pure_phrase_ranks_by_matches(idx, docs):
+def test_query_pure_phrase_scores_weighted(idx, docs):
+    """'+"<phrase>"': a required phrase SCORES (r5 Lucene parity —
+    BooleanScorer sums required-clause scores): contribution =
+    Σidf(phrase terms) x BM25 saturation of the match count.  Earlier
+    rounds ranked pure-phrase queries by raw match count."""
     import re
+    from php_lucene_analyzer_spark.operators.fulltext import K1, idf
     toks = [t for t in re.split(r"[^a-zA-Z0-9]+",
                                 docs.filter("doc_id = 3")
                                 .collect()[0]["text"]) if t][:2]
@@ -170,22 +175,38 @@ def test_query_pure_phrase_ranks_by_matches(idx, docs):
     want = {r["doc_id"]: r["n_matches"]
             for r in idx.phrase(phrase).collect()}
     assert got and {r["doc_id"] for r in got} <= set(want)
+    dfs = {r["term"]: r["df"] for r in idx.tstats.collect()}
+    w_p = sum(idf(idx.n_docs, dfs[t]) for t in idx._terms(phrase)
+              if t in dfs)
     for r in got:
-        assert r["score"] == float(want[r["doc_id"]])
+        n = want[r["doc_id"]]
+        assert r["score"] == pytest.approx(
+            w_p * n * (K1 + 1.0) / (n + K1), rel=1e-12)
 
 
 def test_query_phrase_filters_term_results(idx, docs):
+    """'+value +"<phrase>"': the phrase bounds the candidate set AND
+    adds its weighted contribution to every surviving doc (r5)."""
     import re
+    from php_lucene_analyzer_spark.operators.fulltext import K1, idf
     toks = [t for t in re.split(r"[^a-zA-Z0-9]+",
                                 docs.filter("doc_id = 3")
                                 .collect()[0]["text"]) if t][:2]
     phrase = " ".join(toks)
     got = _rows(idx.query(f'+value +"{phrase}"', k=50))
-    phrase_docs = {r["doc_id"] for r in idx.phrase(phrase).collect()}
+    pm = {r["doc_id"]: r["n_matches"]
+          for r in idx.phrase(phrase).collect()}
     base = _rows(idx.search_boolean(must=["value"], k=10_000))
-    want = [(d, s) for d, s in base if d in phrase_docs][:50]
-    assert got == sorted(want, key=lambda x: (-x[1], x[0]))
-    assert all(d in phrase_docs for d, _ in got)
+    dfs = {r["term"]: r["df"] for r in idx.tstats.collect()}
+    w_p = sum(idf(idx.n_docs, dfs[t]) for t in idx._terms(phrase)
+              if t in dfs)
+    want = [(d, s + w_p * pm[d] * (K1 + 1.0) / (pm[d] + K1))
+            for d, s in base if d in pm][:50]
+    want = sorted(want, key=lambda x: (-x[1], x[0]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d, s), (_, ws) in zip(got, want):
+        assert s == pytest.approx(ws, rel=1e-12)
+    assert all(d in pm for d, _ in got)
 
 
 def test_query_should_phrase_scores_and_counts(idx, docs):
@@ -260,15 +281,23 @@ def test_phrase_slop_parses_and_filters(idx, docs):
     executes as a sloppy-phrase filter via phrase(slop=...) — both
     paths share the default slop_mode (lucene, r5)."""
     from php_lucene_analyzer_spark.queryparser import parse_query
+    from php_lucene_analyzer_spark.operators.fulltext import K1, idf
     t = parse_query('+"fast join"~4 value')
     ph = next(c for _, c in t.clauses if c.kind == "phrase")
     assert ph.edits == 4
     got = _rows(idx.query('+"fast join"~4 +value', k=10_000))
-    slop_docs = {r["doc_id"]
-                 for r in idx.phrase("fast join", slop=4).collect()}
+    pm = {r["doc_id"]: r["n_matches"]
+          for r in idx.phrase("fast join", slop=4).collect()}
     base = _rows(idx.search_boolean(must=["value"], k=10_000))
-    want = [(d, s) for d, s in base if d in slop_docs]
-    assert got == sorted(want, key=lambda x: (-x[1], x[0]))[:10_000]
+    dfs = {r["term"]: r["df"] for r in idx.tstats.collect()}
+    w_p = sum(idf(idx.n_docs, dfs[t_]) for t_ in idx._terms("fast join")
+              if t_ in dfs)
+    want = sorted([(d, s + w_p * pm[d] * (K1 + 1.0) / (pm[d] + K1))
+                   for d, s in base if d in pm],
+                  key=lambda x: (-x[1], x[0]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d, s), (_, ws) in zip(got, want):
+        assert s == pytest.approx(ws, rel=1e-12)
     assert got  # non-vacuous
 
 
@@ -281,15 +310,29 @@ def test_must_phrase_with_should_phrase_not_empty(idx, docs):
     toks = [t for t in re.split(r"[^a-zA-Z0-9]+",
                                 docs.filter("doc_id = 3")
                                 .collect()[0]["text"]) if t][:4]
+    from php_lucene_analyzer_spark.operators.fulltext import K1, idf
     p1, p2 = " ".join(toks[:2]), " ".join(toks[2:4])
     got = {r["doc_id"]: r["score"]
            for r in idx.query(f'+"{p1}" "{p2}"', k=10_000).collect()}
-    p1_docs = {r["doc_id"] for r in idx.phrase(p1).collect()}
-    assert set(got) == p1_docs and got
-    # docs also matching p2 carry a positive score; p1-only docs score 0
+    p1m = {r["doc_id"]: r["n_matches"] for r in idx.phrase(p1).collect()}
+    assert set(got) == set(p1m) and got
+    # r5: both phrases score — p1-only docs carry exactly the required
+    # phrase's contribution, p2-matchers add the optional phrase's
     p2m = {r["doc_id"]: r["n_matches"] for r in idx.phrase(p2).collect()}
+    dfs = {r["term"]: r["df"] for r in idx.tstats.collect()}
+
+    def w(ph):
+        return sum(idf(idx.n_docs, dfs[t]) for t in idx._terms(ph)
+                   if t in dfs)
+
+    def sat(w_p, n):
+        return w_p * n * (K1 + 1.0) / (n + K1)
+
+    w1, w2 = w(p1), w(p2)
     for d, s in got.items():
-        assert (s > 0) == (d in p2m)
+        want = sat(w1, p1m[d]) + (sat(w2, p2m[d]) if d in p2m else 0.0)
+        assert s == pytest.approx(want, rel=1e-12), d
+        assert s > 0
 
 
 def test_multitoken_fuzzy_stays_one_group(idx):

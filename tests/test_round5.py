@@ -360,9 +360,10 @@ def test_bare_should_phrase_scores_in_query_many(pidx, docs):
 
 
 def test_must_phrase_doc_without_terms_scores_zero_not_null(pidx, docs):
-    """'+"<phrase>" <term>': a phrase doc lacking the term carries
-    score 0.0 (the contract), never NULL (r5 first cut leaked NULL
-    through the left join)."""
+    """'+"<phrase>" <term>': a phrase doc lacking the term still rows
+    with a non-NULL score (r5 first cut leaked NULL through the left
+    join); since the MUST-phrase scoring change the score is the
+    phrase's own weighted contribution."""
     phrase = _first_phrase(docs)
     rows = pidx.query(f'+"{phrase}" value', k=10_000).collect()
     assert rows
