@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from php_lucene_analyzer_spark.operators.positional import (  # noqa: E402
-    _exact_phrase_bucket, _sloppy_phrase_bucket)
+    _exact_phrase_bucket, _lucene_sloppy_bucket, _sloppy_phrase_bucket)
 
 
 # ---- r4 kernels (git history a0228ff), per-candidate-doc loops ------
@@ -102,24 +102,31 @@ def r4_sloppy(per_term: dict, uterms, slop):
 
 def make_bucket(n_docs: int, seed: int = 7):
     """Two common terms, ~8 occurrences each per doc, doc length ~400.
+    Positions are DISTINCT across terms within a doc (two tokens can't
+    share a position — the late-r5 generator fix; the earlier
+    independent sampling produced impossible ties where the r4 loop
+    and the globally-minimal window count legitimately differ).
     Returns both layouts: r4's {term: {doc: positions}} and r5's
     {term: (docs, freqs, flat_pos)}."""
     rng = np.random.default_rng(seed)
     per_term4 = {"a": {}, "b": {}}
-    flat = {}
-    for term in ("a", "b"):
-        docs_l, freqs_l, pos_l = [], [], []
-        for d in range(n_docs):
-            f = int(rng.integers(4, 12))
-            p = np.sort(rng.choice(400, size=f, replace=False)).astype(
-                np.int64)
+    acc = {"a": ([], [], []), "b": ([], [], [])}
+    for d in range(n_docs):
+        fa = int(rng.integers(4, 12))
+        fb = int(rng.integers(4, 12))
+        both = rng.choice(400, size=fa + fb, replace=False).astype(
+            np.int64)
+        for term, p in (("a", np.sort(both[:fa])),
+                        ("b", np.sort(both[fa:]))):
             per_term4[term][d] = p
+            docs_l, freqs_l, pos_l = acc[term]
             docs_l.append(d)
-            freqs_l.append(f)
+            freqs_l.append(p.size)
             pos_l.append(p)
-        flat[term] = (np.asarray(docs_l, dtype=np.int64),
-                      np.asarray(freqs_l, dtype=np.int64),
-                      np.concatenate(pos_l))
+    flat = {term: (np.asarray(docs_l, dtype=np.int64),
+                   np.asarray(freqs_l, dtype=np.int64),
+                   np.concatenate(pos_l))
+            for term, (docs_l, freqs_l, pos_l) in acc.items()}
     return per_term4, flat
 
 
@@ -143,7 +150,11 @@ def main() -> None:
             ("exact_r5", lambda: _exact_phrase_bucket(flat, gaps)),
             ("exact_r4", lambda: r4_exact(per_term4, gaps)),
             ("slop_r5", lambda: _sloppy_phrase_bucket(flat, req, slop)),
-            ("slop_r4", lambda: r4_sloppy(per_term4, ["a", "b"], slop))):
+            ("slop_r4", lambda: r4_sloppy(per_term4, ["a", "b"], slop)),
+            # late-r5 Lucene accounting: one adjusted stream per phrase
+            # position (same sweep; dedup pass extra)
+            ("slop_lucene", lambda: _lucene_sloppy_bucket(
+                flat, gaps, slop))):
         fn()
         ts = []
         for _ in range(3):

@@ -36,6 +36,13 @@ def main() -> None:
                          "(default); 'classic': full Lucene query "
                          "syntax -> parser + tree kernel "
                          "(engine.query_many)")
+    ap.add_argument("--slop-mode", choices=["lucene", "span"],
+                    default="lucene",
+                    help="'--syntax classic' only: semantics of "
+                         "'\"a b\"~n' — 'lucene' (default): "
+                         "SloppyPhraseScorer adjusted-position "
+                         "accounting (order-sensitive); 'span': "
+                         "SpanNearQuery(inOrder=false) windows")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -74,7 +81,8 @@ def main() -> None:
                             int(stats["n_docs"]), float(stats["avgdl"]),
                             fields=stats.get("fields"),
                             field_avgdl=stats.get("field_avgdl"))
-        hits_df = idx.query_many(qmap, k=args.k)
+        hits_df = idx.query_many(qmap, k=args.k,
+                                 slop_mode=args.slop_mode)
     else:
         hits_df = wand_topk_many(postings, tstats, stats["n_docs"],
                                  stats["avgdl"], qmap, k=args.k)
