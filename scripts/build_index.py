@@ -43,6 +43,15 @@ def main() -> None:
                     help="verify the per-row content-sha256 invariant "
                          "between the source and the doc-id checkpoint "
                          "(full extra scan of both)")
+    ap.add_argument("--positional", action="store_true",
+                    help="also build the packed positional index "
+                         "(phrase/slop/highlight serving via "
+                         "query_index.py --syntax classic); rebuilt "
+                         "idempotently from the doc-id checkpoint on "
+                         "re-runs")
+    ap.add_argument("--offsets", action="store_true",
+                    help="with --positional: store per-occurrence char "
+                         "(start, length) for source-text snippets")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,13 +93,27 @@ def main() -> None:
      .write.mode("overwrite").parquet(term_dict_path))
 
     from php_lucene_analyzer_spark.functions.header import (
-        INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION, header_fields)
+        INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION, POSITIONAL_CODEC,
+        POSITIONAL_VERSION, header_fields, write_dir_header)
+
+    if args.positional:
+        from php_lucene_analyzer_spark.operators.positional import (
+            positional_postings)
+        pdir = os.path.join(args.workdir, "positional")
+        ids = spark.read.parquet(build.ids_path)
+        parts = max(spark.sparkContext.defaultParallelism, 2)
+        (positional_postings(ids.repartitionByRange(parts, "doc_id"),
+                             "doc_id", args.text_col,
+                             store_offsets=args.offsets)
+         .write.mode("overwrite").parquet(pdir))
+        write_dir_header(pdir, POSITIONAL_CODEC, POSITIONAL_VERSION)
 
     stats = {**header_fields(INDEX_WORKDIR_CODEC, INDEX_WORKDIR_VERSION),
              "n_docs": n_docs, "avgdl": avgdl,
              "text_col": args.text_col,
              "order_cols": args.order_cols.split(","),
              "chunks": sorted(build.completed_chunks()),
+             "has_positional": bool(args.positional),
              "wall_sec": round(time.time() - t0, 2)}
     with open(os.path.join(args.workdir, "stats.json"), "w") as f:
         json.dump(stats, f)

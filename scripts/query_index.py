@@ -8,10 +8,11 @@ scripts/build_index.py.
 All queries evaluate in ONE Spark job per stage (wand_topk_many — or
 engine.query_many with ``--syntax classic``, which parses full
 classic-Lucene strings: AND/OR/NOT, parens, field:term, boosts,
-ranges, wildcards, fuzzy, and (r5) phrases — a workdir saved with a
-positional index serves ``"exact phrase"`` clauses batched like
-everything else).  Prints one JSON line per query:
-{"query": ..., "hits": [[doc_id, score], ...]}.
+ranges, wildcards, fuzzy, and (r5) phrases — a workdir built with
+``build_index.py --positional`` (or saved by ``FulltextIndex.save``
+with a positional index) serves ``"exact phrase"`` / ``"a b"~n``
+clauses batched like everything else).  Prints one JSON line per
+query: {"query": ..., "hits": [[doc_id, score], ...]}.
 """
 
 from __future__ import annotations
@@ -76,9 +77,19 @@ def main() -> None:
     qmap = {str(i): q for i, q in enumerate(args.queries)}
     if args.syntax == "classic":
         from php_lucene_analyzer_spark.engine import FulltextIndex
+        from php_lucene_analyzer_spark.functions.header import (
+            POSITIONAL_CODEC, POSITIONAL_VERSION)
 
+        pos = None
+        pdir = os.path.join(args.workdir, "positional")
+        if stats.get("has_positional") or os.path.isdir(pdir):
+            # header check BEFORE any decode (engine.load's rule)
+            check_dir_header(pdir, POSITIONAL_CODEC, POSITIONAL_VERSION,
+                             POSITIONAL_VERSION)
+            pos = spark.read.parquet(pdir)
         idx = FulltextIndex(spark, postings, tstats,
                             int(stats["n_docs"]), float(stats["avgdl"]),
+                            positional=pos,
                             fields=stats.get("fields"),
                             field_avgdl=stats.get("field_avgdl"))
         hits_df = idx.query_many(qmap, k=args.k,

@@ -217,3 +217,52 @@ def test_query_classic_syntax_via_spark_submit(built_index, pyfiles_zip,
         want = [(r["doc_id"], r["score"])
                 for r in idx.query(q, k=5).collect()]
         assert got[q] == want and want
+
+
+@pytest.fixture(scope="module")
+def built_positional_index(pyfiles_zip, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("submitposidx") / "idx")
+    docs = os.path.join(SF_DIR, "documents.parquet")
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "build_index.py"),
+                  "--input", docs, "--workdir", workdir,
+                  "--order-cols", "doc_id", "--text-col", "text",
+                  "--chunk-docs", "200", "--positional")
+    return workdir, json.loads(out.strip().splitlines()[-1])
+
+
+def test_phrase_serving_via_spark_submit(built_positional_index,
+                                         pyfiles_zip, spark):
+    """build_index.py --positional writes the packed positional index
+    (format-headered) into the workdir and query_index.py serves
+    phrase-bearing classic queries from it, matching the in-process
+    engine bit-for-bit (r5: the CLI previously documented phrase
+    support but never loaded a positional dir)."""
+    workdir, summary = built_positional_index
+    assert summary["has_positional"]
+    assert os.path.isdir(os.path.join(workdir, "positional"))
+    q1, q2 = '+"merge join" value', '"fast merge"~2 stream'
+    out = _submit("--py-files", pyfiles_zip,
+                  os.path.join(REPO, "scripts", "query_index.py"),
+                  "--workdir", workdir, "-k", "5", "--syntax", "classic",
+                  q1, q2)
+    lines = [json.loads(l) for l in out.strip().splitlines()
+             if l.startswith("{")]
+    got = {d["query"]: [tuple(h) for h in d["hits"]] for d in lines}
+
+    from php_lucene_analyzer_spark.engine import FulltextIndex
+    from php_lucene_analyzer_spark.operators.postings import (
+        term_stats_from_postings)
+
+    stats = json.load(open(os.path.join(workdir, "stats.json")))
+    postings = spark.read.option(
+        "basePath", os.path.join(workdir, "postings")).parquet(
+        os.path.join(workdir, "postings", "chunk=*"))
+    tstats = term_stats_from_postings(postings).cache()
+    pos = spark.read.parquet(os.path.join(workdir, "positional"))
+    idx = FulltextIndex(spark, postings, tstats, int(stats["n_docs"]),
+                        float(stats["avgdl"]), positional=pos)
+    for q in (q1, q2):
+        want = [(r["doc_id"], r["score"])
+                for r in idx.query(q, k=5).collect()]
+        assert got[q] == want and want, q
