@@ -40,7 +40,15 @@ top = (pos.groupBy("term").agg(F.sum("sum_tf").alias("cf"))
        .orderBy(F.desc("cf"), "term").limit(2).collect())
 phrase = " ".join(r["term"] for r in top)
 out = {"phrase": phrase}
-for name, kw in (("exact", {}), ("slop8", {"slop": 8})):
+# slop stage pinned to span semantics on both sides: the r5 repo's
+# default slop_mode is "lucene" (late r5), the pinned r4 worktree has
+# no such parameter — without the pin the A/B would time different
+# algorithms over different match sets
+import inspect
+_slop_kw = {"slop": 8}
+if "slop_mode" in inspect.signature(phrase_match).parameters:
+    _slop_kw["slop_mode"] = "span"
+for name, kw in (("exact", {}), ("slop8", _slop_kw)):
     pm = lambda: phrase_match(pos, phrase, **kw).count()
     n = pm()                      # warm (JIT, shuffles)
     ts = []

@@ -409,12 +409,12 @@ def _exact_phrase_bucket(flat: dict, gaps: list[tuple[str, int]]
 
 def _sweep_min_windows(doc_c: np.ndarray, pos_c: np.ndarray,
                        tid_c: np.ndarray, reqs: list[int], slack: int,
-                       slop: int) -> tuple[np.ndarray, np.ndarray]:
+                       slop: int, dedup: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Shared minimal-window sweep over merged occurrence streams ->
     (doc_ids, n_matches).  Streams are identified by tid; stream i must
     contribute ``reqs[i]`` DISTINCT occurrences to a window; a window
-    qualifies when (hi - lo) - slack <= slop.  n_matches counts the
-    GLOBALLY minimal qualifying windows per doc.
+    qualifies when (hi - lo) - slack <= slop.
 
     Vectorized equivalence to the two-pointer sweep (tested against
     brute-force window enumerators): sort all occurrences by (doc, pos,
@@ -423,11 +423,17 @@ def _sweep_min_windows(doc_c: np.ndarray, pos_c: np.ndarray,
     a window ending at r); m(r) = min_i lo_i(r).  A row is covered when
     m(r) falls inside r's doc segment; the per-row minimal windows are
     the DISTINCT m values over covered rows (m is monotone within a
-    segment), and a final by-VALUE dedup (keep first per (doc, lo),
-    then last per (doc, hi)) removes nested windows — with raw
-    positions streams never tie so this is a no-op, but offset-adjusted
-    streams (the Lucene sloppy mode) can tie and nest.  Everything is
-    cumsum / fancy-index — no per-doc Python."""
+    segment).  ``dedup=True`` additionally drops nested windows by
+    VALUE (keep first per (doc, lo), then last per (doc, hi)) so
+    n_matches counts GLOBALLY minimal windows — required for the
+    offset-ADJUSTED streams of the Lucene sloppy mode, where two
+    streams can tie on a value and per-row minimal windows nest.  Span
+    mode keeps dedup=False: its per-TERM raw-position streams tie only
+    when stacked tokens (synonym keepOrig / WDGF parts, pos_inc 0) put
+    two phrase terms at one position, and there the r4-compatible
+    distinct-left count is the SpanNearQuery-ish convention this mode
+    has always shipped.  Everything is cumsum / fancy-index — no
+    per-doc Python."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     if doc_c.size == 0:
         return empty
@@ -463,13 +469,16 @@ def _sweep_min_windows(doc_c: np.ndarray, pos_c: np.ndarray,
     covered_prev[0] = False
     covered_prev[1:] = covered[:-1]
     counted = covered & (new_doc | ~covered_prev | (m > m_prev))
-    passing = counted & ((pos_c - pos_c[np.clip(m, 0, n - 1)])
-                         - slack <= slop)
+    lo_pos = pos_c[np.clip(m, 0, n - 1)]
+    passing = counted & ((pos_c - lo_pos) - slack <= slop)
     if not passing.any():
         return empty
+    if not dedup:
+        docs, counts = np.unique(doc_c[passing], return_counts=True)
+        return docs, counts
     rows = np.flatnonzero(passing)
     d_v = doc_c[rows]
-    lo_v = pos_c[np.clip(m, 0, n - 1)][rows]
+    lo_v = lo_pos[rows]
     hi_v = pos_c[rows]
     k1 = np.empty(rows.size, dtype=bool)
     k1[0] = True
@@ -599,7 +608,7 @@ def _lucene_sloppy_bucket(flat: dict, qpos: list[tuple[str, int]],
             sid += 1
     docs, counts = _sweep_min_windows(
         np.concatenate(doc_parts), np.concatenate(pos_parts),
-        np.concatenate(tid_parts), [1] * sid, 0, slop)
+        np.concatenate(tid_parts), [1] * sid, 0, slop, dedup=True)
     if docs.size == 0 or all(len(v) == 1 for v in offs.values()):
         return docs, counts
     bounds = {t: np.concatenate(([0], np.cumsum(per_term[t][1])))
@@ -633,6 +642,11 @@ def _compile_phrase(phrase: str, terms_fn, slop: int,
     the positional index stores non-default fields that way
     (engine.build fields=...).  Returns None for an empty analysis."""
     from .fulltext import FIELD_SEP
+    if slop_mode not in ("lucene", "span"):
+        # validate regardless of slop so a typo'd mode fails on the
+        # first call, not on the first ~n phrase
+        raise ValueError(f"unknown slop_mode {slop_mode!r} "
+                         "(expected 'lucene' or 'span')")
     if terms_fn is not None:
         terms = [(t, i) for i, t in enumerate(terms_fn(phrase))]
     else:
@@ -646,9 +660,6 @@ def _compile_phrase(phrase: str, terms_fn, slop: int,
             base_pos = terms[0][1]
             return ("lucene", [(t, p - base_pos) for t, p in terms],
                     slop)
-        if slop_mode != "span":
-            raise ValueError(f"unknown slop_mode {slop_mode!r} "
-                             "(expected 'lucene' or 'span')")
         req: dict[str, int] = {}
         for t, _p in terms:
             req[t] = req.get(t, 0) + 1

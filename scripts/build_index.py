@@ -53,6 +53,9 @@ def main() -> None:
                     help="with --positional: store per-occurrence char "
                          "(start, length) for source-text snippets")
     args = ap.parse_args()
+    if args.offsets and not args.positional:
+        ap.error("--offsets requires --positional (offsets live in the "
+                 "positional blobs)")
 
     from pyspark.sql import SparkSession
 

@@ -616,3 +616,41 @@ def test_phrase_match_many_per_entry_mode_override(pidx, docs):
                              analyzer=pidx.analyzer,
                              slop_mode=mode).collect()}
         assert got.get(pid, {}) == want, pid
+
+
+# ----------------------------------- review findings, late r5 batch 2
+def test_span_mode_keeps_distinct_left_counts_on_stacked_tokens():
+    """Stacked tokens (pos_inc 0) can put two phrase terms at ONE
+    position; span mode must keep the r4-compatible distinct-left
+    window count there (the lucene-mode by-value dedup is NOT applied
+    to span streams — review finding)."""
+    import numpy as np
+
+    from php_lucene_analyzer_spark.operators.positional import (
+        _lucene_sloppy_bucket, _sloppy_phrase_bucket)
+
+    flat = {
+        "a": (np.array([0]), np.array([1]), np.array([5])),
+        "b": (np.array([0]), np.array([2]), np.array([2, 5])),
+    }
+    d, c = _sloppy_phrase_bucket(flat, {"a": 1, "b": 1}, 10)
+    assert d.tolist() == [0] and c.tolist() == [2]   # [2,5] and [5,5]
+    # lucene mode counts globally minimal windows: [5,5] ⊂ [2,5] -> 1
+    # (adjusted streams: a-0 @5, b-1 @1,4 -> windows [4,5],[1,5] -> the
+    # minimal [4,5] only)
+    d2, c2 = _lucene_sloppy_bucket(flat, [("a", 0), ("b", 1)], 10)
+    assert d2.tolist() == [0] and c2.tolist() == [1]
+
+
+def test_invalid_slop_mode_raises_even_for_exact_phrases(pidx):
+    """A typo'd slop_mode fails on the first call, not on the first
+    ~n phrase (review finding: validation lived in the slop>0
+    branch)."""
+    from php_lucene_analyzer_spark.operators.positional import (
+        phrase_match)
+
+    with pytest.raises(ValueError, match="slop_mode"):
+        phrase_match(pidx.positional, "merge join",
+                     slop_mode="lucen")  # slop=0, typo'd mode
+    with pytest.raises(ValueError, match="slop_mode"):
+        pidx.query('+"merge join"', slop_mode="bogus")
