@@ -65,7 +65,9 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                                      float(s[j])))
         yield pd.DataFrame(best, columns=["qid", "vec_id", "cosine"])
 
-    local = emb.mapInPandas(part, schema="qid long, vec_id long, cosine double")
+    from ..plans.parallel import spread_input
+    local = spread_input(emb).mapInPandas(
+        part, schema="qid long, vec_id long, cosine double")
     from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (local.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -96,7 +98,8 @@ def lsh_codes(emb: DataFrame, id_col: str = "vec_id",
             yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
                                 "code": codes})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    from ..plans.parallel import spread_input
+    return spread_input(emb.select(id_col, vec_col)).mapInPandas(
         gen, schema="vec_id long, code long")
 
 
@@ -193,7 +196,8 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                 "vec_id": pdf[id_col].to_numpy(),
                 "list_id": np.argmax(m @ cent.T, axis=1).astype(np.int64)})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    from ..plans.parallel import spread_input
+    return spread_input(emb.select(id_col, vec_col)).mapInPandas(
         gen, schema="vec_id long, list_id long")
 
 

@@ -188,7 +188,6 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     the shingle hashes; the 100 TB-scale path, ~O(n_hashes)x less fold
     work, same banded-LSH usage).
     """
-    t = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     tc = F.col("_toks")
     sh = F.when(
         F.size(tc) >= shingle_k,
@@ -199,8 +198,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     ).otherwise(F.when(F.size(tc) > 0,
                        F.array(F.concat_ws(" ", tc)))
                 .otherwise(F.array().cast("array<string>")))
-    hashed = (docs.select(F.col(id_col).alias("doc_id"),
-                          t.alias("_toks"))
+    from ..plans.parallel import spread_input
+    hashed = (spread_input(docs.select(F.col(id_col).alias("doc_id"),
+                                       F.col(text_col)))
+              .select("doc_id",
+                      F.array_remove(F.split(F.lower(F.col(text_col)),
+                                             r"\s+"), "").alias("_toks"))
               .select("doc_id",
                       F.transform(sh, lambda s: F.xxhash64(s))
                       .alias("hs")))
@@ -456,7 +459,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
                                 "simhash": out})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.parallel import spread_input
+    return spread_input(docs.select(id_col, text_col)).mapInPandas(
         gen, schema="doc_id long, simhash long")
 
 
@@ -600,10 +604,15 @@ def ngram_decontaminate(docs: DataFrame, benchmark: DataFrame,
             out = out.withColumn("s", F.xxhash64("s"))
         return out
 
+    from ..plans.parallel import spread_input
     bench = shingle_rows(
         benchmark.select(F.col(bcol)), bcol, None).distinct()
+    # corpus side: spread before the n-gram construction — the 13-wide
+    # concat per token position is the dominant map cost and must not be
+    # bound by the input's file split count (guide §2/§6)
     corpus = shingle_rows(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        spread_input(docs.select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col))),
         text_col, "doc_id")
     return (corpus.join(F.broadcast(bench), "s")
             .groupBy("doc_id")

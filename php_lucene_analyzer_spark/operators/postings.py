@@ -258,6 +258,17 @@ def build_postings(tdf: DataFrame, bucket_span: int = 1 << 20) -> DataFrame:
     range: per-term block sequences ordered by (rbucket, block_no) are
     already globally doc-sorted, so the merge phase is free, and a heavy
     term is split across as many tasks as it spans buckets.
+
+    Span note (r6 NEGATIVE result): deriving the span adaptively
+    (~2 buckets per core, so a sub-1M-doc corpus gets multi-task query
+    kernels instead of one bucket) was built and MEASURED SLOWER at
+    sf1.0 — bm25_batch100 5.4 -> 9.3 s, wand_fullchain_sql 3.3 ->
+    6.8 s: the postings table is small enough that AQE coalesces the
+    kernel shuffle back to a few tasks, so the extra per-group
+    pandas/Arrow overhead (buckets x queries kernel launches, 49x the
+    groupBy groups at build) is pure loss.  The fixed 2^20 span stands;
+    at >= 10^9 docs it already yields thousands of buckets and the
+    kernel parallelism problem does not exist.
     """
     salted = tdf.select(
         "term",

@@ -77,7 +77,8 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
                                 "lang_guess": langs.astype(object),
                                 "lang_score": out_score})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.parallel import spread_input
+    return spread_input(docs.select(id_col, text_col)).mapInPandas(
         gen, schema="doc_id long, lang_guess string, lang_score double")
 
 
@@ -94,6 +95,8 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     corpus from a quality-filtered pipeline."""
     tok_split = r"[^a-z0-9]+" if ascii_only else r"[^\p{L}\p{N}]+"
     punct_cls = r"[\w\s]" if ascii_only else r"[\p{L}\p{N}\s_]"
+    from ..plans.parallel import spread_input
+    docs = spread_input(docs)
     toks = F.split(F.lower(F.col(text_col)), tok_split)
     toks = F.array_remove(toks, "")
     n_tok = F.size(toks)
@@ -159,7 +162,8 @@ def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         finally:
             np.seterr(**old)
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.parallel import spread_input
+    return spread_input(docs.select(id_col, text_col)).mapInPandas(
         gen, schema="doc_id long, fp long")
 
 
@@ -167,6 +171,8 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish subword count estimate, JVM-side: tokens plus
     an extra count per 4 chars of long tokens (the BPE length heuristic)."""
+    from ..plans.parallel import spread_input
+    docs = spread_input(docs)
     toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     ws = F.size(toks)
     chars = F.length(F.col(text_col))

@@ -163,8 +163,20 @@ FUZZY_QUERIES = {
 }
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = True) -> DataFrame:
+    """The documents table, by default spread to the session's
+    parallelism (plans/parallel.py): the table ships as a single
+    row group, so without the spread every tokenize/explode/hash map
+    stage below runs on 1-2 tasks (r6 measured: the 16-md5 LSH
+    signature aggregation alone was 21.7 s on 2 tasks vs 2.4 s spread).
+    ``spread=False`` for callers that immediately impose their own
+    partitioning (the positional-index builders repartitionByRange)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        from .plans.parallel import spread_input
+        df = spread_input(df)
+    return df
 
 
 def _tokens_col(col: str = "text"):
@@ -227,6 +239,21 @@ def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("term_id", "term", "df", "cf"))
 
 
+def _tf_for_terms(base: DataFrame, terms) -> DataFrame:
+    """(doc_id, term, tf, dl) restricted to ``terms`` — the restriction
+    runs BEFORE the (doc_id, term) aggregation (it commutes with a
+    groupBy on its own key, so values are identical), which keeps the
+    shuffle to query-term rows only instead of the full-corpus tf table
+    (guide §2.3: shuffle fewer bytes).  ``terms`` is a driver-tiny query
+    literal, so the isin predicate stays a codegen'd scan-side filter."""
+    return (base.select("doc_id",
+                        F.size("toks").cast("long").alias("dl"),
+                        F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(sorted(terms)))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 per fixed query, pure DataFrame ops (JVM-side).
 
@@ -238,22 +265,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffle-joins the full-corpus dl table on doc_id, which
     would be a corpus-wide shuffle for a handful of query terms.  Corpus
     stats (n, avgdl) come from a separate scan-agg (no join) and
-    broadcast as one row.
+    broadcast as one row.  The query-term restriction is applied BEFORE
+    the (doc_id, term) aggregation (r6, guide §2.3 — the filter commutes
+    with the groupBy on its own key): only query-term token rows are
+    ever aggregated or shuffled, instead of the full-corpus tf table.
     """
     base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
-    tf = (base.select("doc_id",
-                      F.size("toks").cast("long").alias("dl"),
-                      F.explode("toks").alias("term"))
-          .groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    # eager checkpoint: tf feeds the main scoring pass AND the dfq
+    # broadcast job — without it each broadcast build re-runs the whole
+    # tokenize subtree (r6; the q_phrase_match localCheckpoint pattern,
+    # bounded by query-term rows)
+    tf = _tf_for_terms(
+        base, {t for ts in BM25_QUERIES.values() for t in ts}) \
+        .localCheckpoint(eager=True)
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
         "qid string, term string")
-    dfq = (tf.join(F.broadcast(qterms.select("term").distinct()), "term")
-           .groupBy("term").agg(F.count("*").alias("df")))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(F.broadcast(qterms), "term")
               .join(F.broadcast(dfq), "term")
               .crossJoin(F.broadcast(stats))
@@ -279,22 +310,33 @@ def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus with those terms, the source doc excluded.
 
     Scale shape: the source docs' tf rows are a broadcast-sized slice
-    (isin pushed to the scan); term selection is a tiny window over that
-    slice; candidate scoring reuses the q_bm25_topk shape (dl rides with
-    tf; only selected-term rows shuffle)."""
+    (isin pushed to the scan — r6: BEFORE tokenization, so only the
+    source docs ever analyze on that branch); term selection is a tiny
+    window over that slice; candidate scoring reuses the q_bm25_topk
+    shape (dl rides with tf; only source-term rows aggregate or shuffle
+    — the corpus tf table is semi-restricted to the source docs' terms
+    BEFORE its groupBy, guide §2.3)."""
     base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
-    tf = (base.select("doc_id",
-                      F.size("toks").cast("long").alias("dl"),
-                      F.explode("toks").alias("term"))
-          .groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
-    src_tf = (tf.filter(F.col("doc_id").isin(MLT_DOCS))
-              .select(F.col("doc_id").alias("src_doc"), "term", "tf"))
-    dfs = (tf.join(F.broadcast(src_tf.select("term").distinct()), "term")
-           .groupBy("term").agg(F.count("*").alias("df")))
+    # both frames feed several joins/broadcast builds below — eager
+    # checkpoints so each evaluates ONCE (r6; src_tf is 3 docs' terms,
+    # tf is bounded by source-term rows)
+    src_tf = (base.filter(F.col("doc_id").isin(MLT_DOCS))
+              .select("doc_id", F.explode("toks").alias("term"))
+              .groupBy("doc_id", "term")
+              .agg(F.count("*").alias("tf"))
+              .select(F.col("doc_id").alias("src_doc"), "term", "tf")
+              .localCheckpoint(eager=True))
+    tf = (base.select("doc_id",
+                      F.size("toks").cast("long").alias("dl"),
+                      F.explode("toks").alias("term"))
+          .join(F.broadcast(src_tf.select("term").distinct()), "term")
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+          .localCheckpoint(eager=True))
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf_c = F.round(
         F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
               / (F.col("df") + 0.5)), 4)
@@ -334,19 +376,19 @@ def q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects."""
     base = _docs(spark, sf_dir).select("doc_id", "source",
                                        _tokens_col().alias("toks"))
-    tf = (base.select("doc_id",
-                      F.size("toks").cast("long").alias("dl"),
-                      F.explode("toks").alias("term"))
-          .groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    # query-term restriction BEFORE the tf aggregation (r6, guide §2.3 —
+    # identical values, query-term-only shuffle; see _tf_for_terms),
+    # checkpointed so the dfq broadcast job shares one evaluation
+    tf = _tf_for_terms(
+        base, {t for ts in BM25_QUERIES.values() for t in ts}) \
+        .localCheckpoint(eager=True)
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
         "qid string, term string")
-    dfq = (tf.join(F.broadcast(qterms.select("term").distinct()), "term")
-           .groupBy("term").agg(F.count("*").alias("df")))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     per_doc = (tf.join(F.broadcast(qterms), "term")
                .join(F.broadcast(dfq), "term")
                .crossJoin(F.broadcast(stats))
@@ -380,11 +422,13 @@ def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     clause-joined tf rows — count(DISTINCT term) per role — not a join
     per clause."""
     base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
-    tf = (base.select("doc_id",
-                      F.size("toks").cast("long").alias("dl"),
-                      F.explode("toks").alias("term"))
-          .groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    # clause-term restriction (ALL roles — must_not detection needs the
+    # "n" rows) BEFORE the tf aggregation: identical values, clause-term-
+    # only shuffle (r6, guide §2.3; see _tf_for_terms)
+    tf = _tf_for_terms(
+        base, {t for c in BOOL_QUERIES.values()
+               for ts in (c["must"], c["should"], c["must_not"])
+               for t in ts}).localCheckpoint(eager=True)
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
@@ -457,7 +501,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by content hash -> (hash, n, keeper=min doc_id)."""
-    return (_docs(spark, sf_dir)
+    # spread=False: one cheap sha2 pass — repartitioning the raw text
+    # costs more than 32-way hashing gains (r6 measured)
+    return (_docs(spark, sf_dir, spread=False)
             .select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
             .groupBy("h")
             .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper")))
@@ -500,22 +546,31 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (1-gram) Jaccard between doc d and d+1 — near-dup scoring
-    shape: exploded distinct terms, shifted self-join, set algebra."""
-    terms = (_tok_rows(spark, sf_dir).distinct())
-    counts = terms.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = terms.alias("a")
-    b = terms.select((F.col("doc_id") - 1).alias("doc_id"),
-                     F.col("term")).alias("b")
-    inter = (a.join(b, ["doc_id", "term"])
-             .groupBy("doc_id").agg(F.count("*").alias("inter")))
-    ca = counts.alias("ca")
-    cb = counts.select((F.col("doc_id") - 1).alias("doc_id"),
-                       F.col("c").alias("cb"))
-    return (inter.join(ca, "doc_id").join(cb, "doc_id")
-            .select("doc_id",
-                    F.col("inter"),
+    shape.
+
+    r6 restructure (guide §2.3/§2.4): the per-doc DISTINCT term set is
+    computed map-side with ``array_distinct`` on the un-exploded token
+    array, and adjacent docs pair through ONE doc_id equi-join of
+    one-row-per-doc frames — replacing the exploded global distinct
+    (a full (doc_id, term) shuffle) plus a second exploded self-join
+    (two more corpus-wide term-row shuffles).  ``inter`` =
+    size(array_intersect) over distinct sets == the exploded join's
+    per-doc match count; pairs with an empty intersection are absent
+    from the exploded inner join, reproduced by the inter >= 1 filter
+    (docs with zero tokens carry NULL/empty sets and drop the same way).
+    """
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(_tokens_col()).alias("ts"))
+    nxt = base.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts"), F.col("ts_b")))
+    return (base.join(nxt, "doc_id")
+            .withColumn("inter", inter.cast("long"))
+            .filter(F.col("inter") >= 1)
+            .select("doc_id", "inter",
                     F.round(F.col("inter")
-                            / (F.col("c") + F.col("cb") - F.col("inter")), 4)
+                            / (F.size("ts") + F.size("ts_b")
+                               - F.col("inter")), 4)
                     .alias("jaccard")))
 
 
@@ -525,7 +580,8 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dot/norms computed element-wise in float64 in array order (zip_with +
     aggregate) — deterministic float semantics; broadcast the query side.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .plans.parallel import spread_input
+    emb = spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", to_d.alias("e"))
     qs = base.filter(F.col("vec_id") < ANN_N_QUERIES) \
@@ -599,7 +655,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions over the events.props column (SURVEY §2-B
     'JSON fns'): extract, cast, aggregate."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .plans.parallel import spread_input
+    # single-row-group table: spread so the per-row JSON parse uses the
+    # whole machine (r6; measured 2.26 -> 1.38 s at sf1.0)
+    ev = spread_input(spark.read.parquet(f"{sf_dir}/events.parquet"))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
@@ -624,7 +683,11 @@ def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan-level predicate) + built-in levenshtein — no DFA, no UDF, no
     shuffle beyond the dictionary build."""
     from .operators.fulltext import fuzzy_expand
-    ts = q_term_stats(spark, sf_dir)
+    # one tf/term-stats evaluation shared by all three union branches
+    # (r6): without the checkpoint each branch's subtree re-runs the
+    # full corpus tokenize+agg (localCheckpoint is GC-released with the
+    # returned DataFrame — the q_phrase_match pattern, vocab-bounded)
+    ts = q_term_stats(spark, sf_dir).localCheckpoint(eager=True)
     out = None
     for qid, (q, d) in FUZZY_QUERIES.items():
         m = (fuzzy_expand(ts, q, max_edits=d)
@@ -640,7 +703,9 @@ def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUGGEST_K dictionary terms by (edit distance asc, df desc, term asc)
     within 2 edits and a shared first letter."""
     from .operators.fulltext import suggest_terms
-    ts = q_term_stats(spark, sf_dir)
+    # shared single evaluation across the union branches (see
+    # q_fuzzy_terms)
+    ts = q_term_stats(spark, sf_dir).localCheckpoint(eager=True)
     out = None
     for qid, q in SUGGEST_QUERIES.items():
         m = (suggest_terms(ts, q, max_edits=2, k=SUGGEST_K, prefix_len=1)
@@ -692,12 +757,12 @@ def q_boolean_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = corpus_stats_from_postings(postings, n_docs)
     idx = FulltextIndex(spark, postings, tstats, n_docs, avgdl,
                         analyzer=shim)
-    out = None
-    for qid, q in GBOOL_QUERIES.items():
-        res = idx.query(q, k=1 << 20)       # full match set: rank after
-        m = res.select(F.lit(qid).alias("qid"), "doc_id",
-                       F.round("score", 4).alias("score"))
-        out = m if out is None else out.unionAll(m)
+    # r6: the whole query set runs through query_many — ONE expansion
+    # pass + ONE tree-kernel job for all four queries (bit-identical to
+    # per-query query(); tested), instead of four sequential query()
+    # chains each paying its own driver round trips
+    res = idx.query_many(GBOOL_QUERIES, k=1 << 20)  # full set: rank after
+    out = res.select("qid", "doc_id", F.round("score", 4).alias("score"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"),
                                           F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -773,19 +838,25 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     for r in range(rows_per_band)])
                  .alias("key"))
         for b in range(LSH_BANDS)]
-    buckets = (sigs.select("doc_id", "sig",
+    # the banded self-join carries ONLY (doc_id, band, key) — r6, guide
+    # §8: decide with small rows, attach the heavy 16-hash sig payload
+    # AFTER candidate pairs are deduped (the r5 shape shipped both 512 B
+    # sigs through the explode, the self-join AND the pair dedup)
+    buckets = (sigs.select("doc_id",
                            F.explode(F.array(*band_cols)).alias("b"))
-               .select("doc_id", "sig", F.col("b.band").alias("band"),
+               .select("doc_id", F.col("b.band").alias("band"),
                        F.col("b.key").alias("key")))
     a, c = buckets.alias("a"), buckets.alias("c")
     cand = (a.join(c, (F.col("a.band") == F.col("c.band"))
                    & (F.col("a.key") == F.col("c.key"))
                    & (F.col("a.doc_id") < F.col("c.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("c.doc_id").alias("doc_b"),
-                    F.col("a.sig").alias("sig_a"),
-                    F.col("c.sig").alias("sig_b"))
+                    F.col("c.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
+    cand = (cand.join(sigs.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("sig").alias("sig_a")), "doc_a")
+            .join(sigs.select(F.col("doc_id").alias("doc_b"),
+                              F.col("sig").alias("sig_b")), "doc_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y),
                            lambda v: v))
@@ -811,13 +882,17 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     def simple_terms(text: str) -> list[str]:
         return [t for t in pat.split((text or "").lower()) if t]
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     # the three phrase evaluations share ONE positional build:
     # localCheckpoint materializes it eagerly and is GC-released when the
     # returned DataFrame is dropped (the q_lsh_pairs pattern) — no driver
     # collect (a common phrase matches unboundedly many docs at scale)
-    # and no cache leaked across the driver's repeated invocations
-    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+    # and no cache leaked across the driver's repeated invocations.
+    # Range-partitioned to the session parallelism (r6: the literal 8
+    # left 3/4 of a 32-core box idle during the Python builder stage;
+    # results are partitioning-independent — tested)
+    par = spark.sparkContext.defaultParallelism
+    pos = positional_postings(docs.repartitionByRange(par, "doc_id"),
                               "doc_id", "text",
                               terms_fn=simple_terms).localCheckpoint(eager=True)
     out = None
@@ -848,8 +923,9 @@ def q_phrase_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def simple_terms(text: str) -> list[str]:
         return [t for t in pat.split((text or "").lower()) if t]
 
-    docs = _docs(spark, sf_dir)
-    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+    docs = _docs(spark, sf_dir, spread=False)
+    par = spark.sparkContext.defaultParallelism
+    pos = positional_postings(docs.repartitionByRange(par, "doc_id"),
                               "doc_id", "text",
                               terms_fn=simple_terms).localCheckpoint(eager=True)
     out = None
@@ -881,8 +957,9 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     def simple_terms(text: str) -> list[str]:
         return [t for t in pat.split((text or "").lower()) if t]
 
-    docs = _docs(spark, sf_dir)
-    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+    docs = _docs(spark, sf_dir, spread=False)
+    par = spark.sparkContext.defaultParallelism
+    pos = positional_postings(docs.repartitionByRange(par, "doc_id"),
                               "doc_id", "text",
                               terms_fn=simple_terms).localCheckpoint(eager=True)
     toks = docs.select("doc_id", _tokens_col().alias("toks"))
@@ -922,8 +999,9 @@ def q_snippet_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [(m.group(0), m.start(), m.end())
                 for m in pat.finditer((text or "").lower())]
 
-    docs = _docs(spark, sf_dir)
-    pos = positional_postings(docs.repartitionByRange(8, "doc_id"),
+    docs = _docs(spark, sf_dir, spread=False)
+    par = spark.sparkContext.defaultParallelism
+    pos = positional_postings(docs.repartitionByRange(par, "doc_id"),
                               "doc_id", "text", spans_fn=spans,
                               store_offsets=True) \
         .localCheckpoint(eager=True)
@@ -949,7 +1027,7 @@ def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row content sha256 (the input_hint invariant surfaced as a
     value-matched contract query; the build-time audit is
     operators/fulltext.py::content_invariant_violations)."""
-    return (_docs(spark, sf_dir)
+    return (_docs(spark, sf_dir, spread=False)
             .select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
             .orderBy("doc_id").limit(200))
 
@@ -995,7 +1073,11 @@ def q_wand_fullchain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the compact() precedent
     tdf = ft.term_doc_freqs(docs, "doc_id", "text") \
         .localCheckpoint(eager=True)
-    (tdf.repartition(1).sortWithinPartitions("doc_id", "term")
+    # r6: the dump writes with the chain's own partitioning (the DuckDB
+    # oracle reads a /*.parquet glob and aggregates, so file count and
+    # row order are free) — the old repartition(1) funnelled the whole
+    # token table through one writer task
+    (tdf.sortWithinPartitions("doc_id", "term")
      .write.mode("overwrite").parquet(fullchain_dump_path(sf_dir)))
     n, avgdl = ft.corpus_stats(tdf)
     tstats = ft.term_stats(tdf)
