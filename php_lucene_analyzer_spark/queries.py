@@ -270,14 +270,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the groupBy on its own key): only query-term token rows are
     ever aggregated or shuffled, instead of the full-corpus tf table.
     """
-    base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
-    # eager checkpoint: tf feeds the main scoring pass AND the dfq
-    # broadcast job — without it each broadcast build re-runs the whole
-    # tokenize subtree (r6; the q_phrase_match localCheckpoint pattern,
-    # bounded by query-term rows)
-    tf = _tf_for_terms(
-        base, {t for ts in BM25_QUERIES.values() for t in ts}) \
+    # eager checkpoint of the TOKENIZED base: the tf aggregation, the
+    # corpus-stats agg and the dfq broadcast each consume it, so without
+    # the checkpoint every consumer re-runs the scan+tokenize (r6; the
+    # q_phrase_match localCheckpoint pattern — GC-released, one corpus
+    # tokenize per query invocation instead of three)
+    base = _docs(spark, sf_dir) \
+        .select("doc_id", _tokens_col().alias("toks")) \
         .localCheckpoint(eager=True)
+    tf = _tf_for_terms(
+        base, {t for ts in BM25_QUERIES.values() for t in ts})
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
@@ -316,26 +318,26 @@ def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (dl rides with tf; only source-term rows aggregate or shuffle
     — the corpus tf table is semi-restricted to the source docs' terms
     BEFORE its groupBy, guide §2.3)."""
-    base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    # tokenized base checkpointed once — every frame below (stats,
+    # src_tf, tf, dfs, seed, scored) derives from it without re-running
+    # the scan+tokenize (see q_bm25_topk)
+    base = _docs(spark, sf_dir) \
+        .select("doc_id", _tokens_col().alias("toks")) \
+        .localCheckpoint(eager=True)
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
-    # both frames feed several joins/broadcast builds below — eager
-    # checkpoints so each evaluates ONCE (r6; src_tf is 3 docs' terms,
-    # tf is bounded by source-term rows)
     src_tf = (base.filter(F.col("doc_id").isin(MLT_DOCS))
               .select("doc_id", F.explode("toks").alias("term"))
               .groupBy("doc_id", "term")
               .agg(F.count("*").alias("tf"))
-              .select(F.col("doc_id").alias("src_doc"), "term", "tf")
-              .localCheckpoint(eager=True))
+              .select(F.col("doc_id").alias("src_doc"), "term", "tf"))
     tf = (base.select("doc_id",
                       F.size("toks").cast("long").alias("dl"),
                       F.explode("toks").alias("term"))
           .join(F.broadcast(src_tf.select("term").distinct()), "term")
           .groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
-          .localCheckpoint(eager=True))
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf_c = F.round(
         F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
@@ -374,14 +376,14 @@ def q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension — (qid, source, n_docs, max_score).  The facet join is a
     broadcast of the dimension columns' slice; the match set never
     collects."""
-    base = _docs(spark, sf_dir).select("doc_id", "source",
-                                       _tokens_col().alias("toks"))
-    # query-term restriction BEFORE the tf aggregation (r6, guide §2.3 —
-    # identical values, query-term-only shuffle; see _tf_for_terms),
-    # checkpointed so the dfq broadcast job shares one evaluation
-    tf = _tf_for_terms(
-        base, {t for ts in BM25_QUERIES.values() for t in ts}) \
+    # tokenized base checkpointed once — consumed by tf, stats, dfq and
+    # the final source join (see q_bm25_topk); term restriction before
+    # the tf aggregation (guide §2.3; see _tf_for_terms)
+    base = _docs(spark, sf_dir) \
+        .select("doc_id", "source", _tokens_col().alias("toks")) \
         .localCheckpoint(eager=True)
+    tf = _tf_for_terms(
+        base, {t for ts in BM25_QUERIES.values() for t in ts})
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
@@ -421,14 +423,16 @@ def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the tf groupBy.  Clause algebra is one aggregate over the
     clause-joined tf rows — count(DISTINCT term) per role — not a join
     per clause."""
-    base = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
-    # clause-term restriction (ALL roles — must_not detection needs the
-    # "n" rows) BEFORE the tf aggregation: identical values, clause-term-
-    # only shuffle (r6, guide §2.3; see _tf_for_terms)
+    # tokenized base checkpointed once (see q_bm25_topk); clause-term
+    # restriction (ALL roles — must_not detection needs the "n" rows)
+    # BEFORE the tf aggregation (guide §2.3; see _tf_for_terms)
+    base = _docs(spark, sf_dir) \
+        .select("doc_id", _tokens_col().alias("toks")) \
+        .localCheckpoint(eager=True)
     tf = _tf_for_terms(
         base, {t for c in BOOL_QUERIES.values()
                for ts in (c["must"], c["should"], c["must_not"])
-               for t in ts}).localCheckpoint(eager=True)
+               for t in ts})
     stats = (base.select(F.size("toks").cast("long").alias("dl"))
              .filter(F.col("dl") > 0)
              .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
@@ -963,21 +967,25 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "doc_id", "text",
                               terms_fn=simple_terms).localCheckpoint(eager=True)
     toks = docs.select("doc_id", _tokens_col().alias("toks"))
+    # r6: union the per-query anchor frames FIRST, then join the token
+    # arrays ONCE — the old per-branch join re-ran the corpus tokenize
+    # subtree once per highlight query (join distributes over union, so
+    # the row set is identical)
     out = None
     for qid, terms in HIGHLIGHT_QUERIES.items():
-        fm = first_match(pos, terms)
-        start = F.greatest(F.col("first_pos") + 1 - HIGHLIGHT_WINDOW,
-                           F.lit(1))
-        end = F.least(F.col("first_pos") + 1 + HIGHLIGHT_WINDOW,
-                      F.size("toks"))
-        m = (fm.join(toks, "doc_id")
-             .select(F.lit(qid).alias("qid"), "doc_id",
-                     F.col("first_pos").cast("long").alias("first_pos"),
-                     F.array_join(
-                         F.slice("toks", start, end - start + 1),
-                         " ").alias("snippet")))
-        out = m if out is None else out.unionAll(m)
-    return out
+        fm = (first_match(pos, terms)
+              .select(F.lit(qid).alias("qid"), "doc_id", "first_pos"))
+        out = fm if out is None else out.unionAll(fm)
+    start = F.greatest(F.col("first_pos") + 1 - HIGHLIGHT_WINDOW,
+                       F.lit(1))
+    end = F.least(F.col("first_pos") + 1 + HIGHLIGHT_WINDOW,
+                  F.size("toks"))
+    return (out.join(toks, "doc_id")
+            .select("qid", "doc_id",
+                    F.col("first_pos").cast("long").alias("first_pos"),
+                    F.array_join(
+                        F.slice("toks", start, end - start + 1),
+                        " ").alias("snippet")))
 
 
 def q_snippet_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,21 +1014,24 @@ def q_snippet_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                               store_offsets=True) \
         .localCheckpoint(eager=True)
     txt = docs.select("doc_id", "text")
+    # r6: union the per-query span frames, join the text ONCE (the
+    # q_highlight union-then-join shape — one corpus scan, not three)
     out = None
     for qid, terms in HIGHLIGHT_QUERIES.items():
-        fm = first_match_span(pos, terms)
-        m = (fm.join(txt, "doc_id")
-             .select(F.lit(qid).alias("qid"), "doc_id",
-                     F.col("first_pos").cast("long").alias("first_pos"),
-                     F.col("start").cast("long").alias("off_start"),
-                     F.col("end").cast("long").alias("off_end"),
-                     F.substring(
-                         F.col("text"),
-                         (F.col("start") + 1).cast("int"),
-                         (F.col("end") - F.col("start")).cast("int"))
-                     .alias("snippet")))
-        out = m if out is None else out.unionAll(m)
-    return out
+        fm = (first_match_span(pos, terms)
+              .select(F.lit(qid).alias("qid"), "doc_id", "first_pos",
+                      "start", "end"))
+        out = fm if out is None else out.unionAll(fm)
+    return (out.join(txt, "doc_id")
+            .select("qid", "doc_id",
+                    F.col("first_pos").cast("long").alias("first_pos"),
+                    F.col("start").cast("long").alias("off_start"),
+                    F.col("end").cast("long").alias("off_end"),
+                    F.substring(
+                        F.col("text"),
+                        (F.col("start") + 1).cast("int"),
+                        (F.col("end") - F.col("start")).cast("int"))
+                    .alias("snippet")))
 
 
 def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
