@@ -742,18 +742,24 @@ def q_boolean_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4dp-rounded score with doc_id tie-break (both engines rank the
     ROUNDED score, the q_bm25_topk convention)."""
     from .engine import FulltextIndex
-    from .operators import fulltext as ft_ops
     from .operators.postings import (corpus_stats_from_postings,
                                      index_corpus,
                                      term_stats_from_postings)
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # spread=False: the index build imposes its own doc-range partitioning
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
     n_docs = docs.count()
     shim = _SimpleAnalyzer()
     # localCheckpoint, not cache: materialized once, shared by all four
     # query branches, GC-released with the returned DataFrame (the
-    # q_phrase_match pattern) — and the whole entry stays collect-free
-    ids = ft_ops.with_doc_ids(docs, ["doc_id"])
+    # q_phrase_match pattern) — and the whole entry stays collect-free.
+    # r6: the index keys on the table's OWN doc_id (what the oracle keys
+    # on) instead of with_doc_ids' rank — the rank was the identity on
+    # these dense ids and cost a sampling pass + per-partition window +
+    # counts collect + broadcast join per invocation; a doc_id range
+    # partition alone gives index_corpus its disjoint-doc-set segments
+    ids = docs.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id")
     postings = index_corpus(ids, "doc_id", "text", analyzer=shim) \
         .localCheckpoint(eager=True)
     tstats = term_stats_from_postings(postings) \
