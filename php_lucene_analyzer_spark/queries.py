@@ -1090,12 +1090,12 @@ def q_wand_fullchain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the compact() precedent
     tdf = ft.term_doc_freqs(docs, "doc_id", "text") \
         .localCheckpoint(eager=True)
-    # r6: the dump writes with the chain's own partitioning (the DuckDB
-    # oracle reads a /*.parquet glob and aggregates, so file count and
-    # row order are free) — the old repartition(1) funnelled the whole
-    # token table through one writer task
-    (tdf.sortWithinPartitions("doc_id", "term")
-     .write.mode("overwrite").parquet(fullchain_dump_path(sf_dir)))
+    # r6: the dump writes with the chain's own partitioning and order
+    # (the DuckDB oracle reads a /*.parquet glob and aggregates, so
+    # file count and row order are free) — the old
+    # repartition(1).sortWithinPartitions funnelled the whole token
+    # table through one writer task plus a sort neither engine needs
+    tdf.write.mode("overwrite").parquet(fullchain_dump_path(sf_dir))
     n, avgdl = ft.corpus_stats(tdf)
     tstats = ft.term_stats(tdf)
     postings = build_postings(tdf)
