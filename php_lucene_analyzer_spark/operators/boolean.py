@@ -494,18 +494,26 @@ def boolean_tree_topk_many(postings: DataFrame, tstats: DataFrame,
 
     def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        dec_cache: dict[frozenset, dict] = {}
+        # r6: decode each TERM once per bucket and assemble per-query
+        # views from the shared arrays — the r5 version shared decodes
+        # only between queries with IDENTICAL term sets, so overlapping
+        # query sets re-decoded their common terms (_tree_bucket is
+        # read-only over the decoded tuples; the pre-decoded-dict form
+        # is its existing contract)
+        by_term = dict(tuple(pdf.groupby("term")))
+        term_dec: dict[str, tuple] = {}
         for qid, tree in trees.items():
             # restrict to THIS query's terms (the wand_topk_many rule:
-            # the union bucket would corrupt per-query statistics);
-            # queries with IDENTICAL term sets share one decode
-            key = frozenset(qterms_alive[qid])
-            dec = dec_cache.get(key)
-            if dec is None:
-                sub = pdf[pdf["term"].isin(key)]
-                dec = {term: _decode_term(g)
-                       for term, g in sub.groupby("term")}
-                dec_cache[key] = dec
+            # the union bucket would corrupt per-query statistics)
+            dec = {}
+            for t in qterms_alive[qid]:
+                d = term_dec.get(t)
+                if d is None:
+                    g = by_term.get(t)
+                    if g is None:
+                        continue
+                    d = term_dec[t] = _decode_term(g)
+                dec[t] = d
             wc = qid in counts_qids
             r = _tree_bucket(dec, tree, instances[qid],
                              k_map.get(qid, k), k1, b, wc)
